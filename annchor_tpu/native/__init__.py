@@ -1,0 +1,171 @@
+"""ctypes bindings for the host-side native kernels.
+
+The shared library is compiled on first import (g++, cached next to the
+source).  This mirrors the reference's reliance on JIT-compiled native
+code (numba LLVM kernels, reference annchor/utils.py:274-621) without
+requiring any pre-built wheel.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "annchor_native.cpp")
+_LIB = os.path.join(_HERE, "_annchor_native.so")
+_lock = threading.Lock()
+_lib = None
+
+
+class NativeBuildError(RuntimeError):
+    pass
+
+
+def _build() -> None:
+    cmd = [
+        "g++",
+        "-O3",
+        "-std=c++17",
+        "-shared",
+        "-fPIC",
+        "-o",
+        _LIB,
+        _SRC,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    except FileNotFoundError as e:  # no g++
+        raise NativeBuildError("g++ not available") from e
+    except subprocess.CalledProcessError as e:
+        raise NativeBuildError(f"native build failed:\n{e.stderr}") from e
+
+
+def get_lib():
+    """Load (building if necessary) the native library, or raise."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_LIB)) or (
+            os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+        ):
+            _build()
+        lib = ctypes.CDLL(_LIB)
+
+        lib.emd_single.restype = ctypes.c_double
+        lib.emd_single.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.emd_batch.restype = ctypes.c_int
+        lib.emd_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_long,
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_long),
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.lev_batch.restype = ctypes.c_int
+        lib.lev_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_long,
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_long),
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    try:
+        get_lib()
+        return True
+    except NativeBuildError:
+        return False
+
+
+def _cptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def emd_single(a, b, cost) -> float:
+    """Exact 1-Wasserstein distance between two histograms."""
+    lib = get_lib()
+    a = np.ascontiguousarray(a, dtype=np.float64)
+    b = np.ascontiguousarray(b, dtype=np.float64)
+    cost = np.ascontiguousarray(cost, dtype=np.float64)
+    return lib.emd_single(
+        _cptr(a, ctypes.c_double),
+        _cptr(b, ctypes.c_double),
+        a.shape[0],
+        _cptr(cost, ctypes.c_double),
+    )
+
+
+def emd_batch(X, Y, cost, I, J) -> np.ndarray:
+    """Exact EMD for pairs (X[I[k]], Y[J[k]]). Returns float64 (m,)."""
+    lib = get_lib()
+    X = np.ascontiguousarray(X, dtype=np.float64)
+    Y = np.ascontiguousarray(Y, dtype=np.float64)
+    cost = np.ascontiguousarray(cost, dtype=np.float64)
+    I = np.ascontiguousarray(I, dtype=np.int64)
+    J = np.ascontiguousarray(J, dtype=np.int64)
+    m = I.shape[0]
+    out = np.zeros(m, dtype=np.float64)
+    rc = lib.emd_batch(
+        _cptr(X, ctypes.c_double),
+        X.shape[0],
+        _cptr(Y, ctypes.c_double),
+        Y.shape[0],
+        X.shape[1],
+        _cptr(cost, ctypes.c_double),
+        _cptr(I, ctypes.c_long),
+        _cptr(J, ctypes.c_long),
+        m,
+        _cptr(out, ctypes.c_double),
+    )
+    if rc != 0:
+        raise ValueError("emd_batch: index out of range")
+    return out
+
+
+def lev_batch(codes, lengths, I, J) -> np.ndarray:
+    """Edit distance for pairs of pre-encoded strings. int32 (m,)."""
+    lib = get_lib()
+    codes = np.ascontiguousarray(codes, dtype=np.int32)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+    I = np.ascontiguousarray(I, dtype=np.int64)
+    J = np.ascontiguousarray(J, dtype=np.int64)
+    m = I.shape[0]
+    out = np.zeros(m, dtype=np.int32)
+    rc = lib.lev_batch(
+        _cptr(codes, ctypes.c_int32),
+        _cptr(lengths, ctypes.c_int32),
+        codes.shape[0],
+        codes.shape[1],
+        _cptr(I, ctypes.c_long),
+        _cptr(J, ctypes.c_long),
+        m,
+        _cptr(out, ctypes.c_int32),
+    )
+    if rc != 0:
+        raise ValueError("lev_batch: index out of range")
+    return out
