@@ -1,0 +1,45 @@
+"""annchor_tpu: TPU-native approximate k-NN graphs for slow metrics.
+
+A ground-up JAX/XLA/Pallas re-design with the capabilities of the
+ANNchor algorithm family (anchor-based k-NN graph construction that
+minimises calls to an expensive metric), plus TPU-first extras:
+batched device metric kernels, exact native optimal transport, and
+multi-chip sharding of the pair pipeline.
+"""
+
+from annchor_tpu.annchor import Annchor, BruteForce, compare_neighbor_graphs
+from annchor_tpu.error_predictors import SimpleStratifiedErrorRegression
+from annchor_tpu.metrics import Metric, get_function_from_input
+from annchor_tpu.pickers import (
+    ExternalAnchorPicker,
+    MaxMinAnchorPicker,
+    RandomAnchorPicker,
+    SelectedAnchorPicker,
+)
+from annchor_tpu.regressors import SimpleStratifiedLinearRegression
+from annchor_tpu.samplers import (
+    ClusterSampler,
+    NothingToSample,
+    Sampler,
+    SimpleStratifiedSampler,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Annchor",
+    "BruteForce",
+    "compare_neighbor_graphs",
+    "Metric",
+    "get_function_from_input",
+    "MaxMinAnchorPicker",
+    "RandomAnchorPicker",
+    "SelectedAnchorPicker",
+    "ExternalAnchorPicker",
+    "Sampler",
+    "SimpleStratifiedSampler",
+    "ClusterSampler",
+    "NothingToSample",
+    "SimpleStratifiedLinearRegression",
+    "SimpleStratifiedErrorRegression",
+]

@@ -1,0 +1,571 @@
+"""Annchor: TPU-native approximate k-NN graphs for slow metrics.
+
+This is the top-level orchestrator, a ground-up JAX/XLA re-design of
+the reference pipeline (reference annchor/annchor.py:21-940):
+
+  anchors -> locality -> features -> [sample -> regress -> errors ->
+  refine -> tighten]*niters -> graph
+
+Every hot stage runs as a batched device kernel (see annchor_tpu.ops);
+the orchestration itself is a staged host loop because the control flow
+(early exit on NothingToSample, adaptive warnings, user-pluggable
+strategy objects) is inherently dynamic — the pipeline is naturally
+staged, so nothing is lost to jit boundaries.
+
+State arrays mirror the reference semantics but live in padded/flat
+tensors instead of numba Dicts:
+  IJs   int32 (m, 2)  candidate pairs, IJs[:,0] < IJs[:,1]
+  P_idx int32 (nx, max_deg) per-point pair ids (pad = m)
+  RefineApprox float64 (m,)  current best estimate per pair
+  not_computed_mask bool (m,)
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from annchor_tpu.error_predictors import SimpleStratifiedErrorRegression
+from annchor_tpu.metrics import (
+    Metric,
+    get_function_from_input,
+    make_get_exact_ijs,
+    make_get_exact_query_ijs,
+    test_parallelisation,
+)
+from annchor_tpu.ops import pairs as pair_ops
+from annchor_tpu.ops.bounds_update import tighten_bounds
+from annchor_tpu.ops.features import bounds_and_dad
+from annchor_tpu.ops.locality import candidate_pairs
+from annchor_tpu.pickers import MaxMinAnchorPicker
+from annchor_tpu.regressors import SimpleStratifiedLinearRegression
+from annchor_tpu.samplers import NothingToSample, SimpleStratifiedSampler
+
+__all__ = ["Annchor", "BruteForce", "compare_neighbor_graphs"]
+
+
+class Annchor:
+    """Quickly computes the approximate k-NN graph for slow metrics.
+
+    Parameters mirror the reference API (reference annchor.py:26-90):
+
+    X: np.array or list — the data set.
+    func: callable, Metric or string — the metric. Supported strings:
+        euclidean, sqeuclidean, cosine, levenshtein,
+        wasserstein (exact EMD; requires cost_matrix kwarg),
+        wasserstein_sinkhorn (TPU entropic OT; requires cost_matrix).
+    func_kwargs: dict of metric kwargs.
+    n_anchors, n_neighbors, n_samples, p_work: budget knobs; p_work is
+        the fraction of brute-force metric calls we may spend.
+    anchor_picker / sampler / regression / error_predictor: duck-typed
+        strategy objects (reference annchor.py:150-161).
+    locality / loc_thresh / loc_min: candidate filter knobs.
+    is_metric: False disables triangle-inequality clipping
+        (reference annchor.py:73-76).
+    get_exact_ijs: optional user pairwise evaluator
+        get_exact_ijs(f, X, IJ) -> np.array([f(X[i], X[j]) ...]).
+    backend: accepted for API compatibility ("loky"/"multiprocessing"
+        select joblib pools in the reference; batching is native here).
+    """
+
+    def __init__(
+        self,
+        X,
+        func,
+        func_kwargs=None,
+        n_anchors=20,
+        n_neighbors=15,
+        n_samples=5000,
+        p_work=0.1,
+        anchor_picker=None,
+        sampler=None,
+        regression=None,
+        error_predictor=None,
+        random_seed=42,
+        locality=5,
+        loc_thresh=1,
+        loc_min=None,
+        verbose=False,
+        is_metric=True,
+        get_exact_ijs=None,
+        backend=None,
+        niters=2,
+        lookahead=5,
+    ):
+        self.X = X
+        self.nx = len(X)
+        self.N = (self.nx * (self.nx - 1)) // 2
+
+        self.metric = get_function_from_input(func, func_kwargs)
+        self.f = self.metric.scalar
+        self.evals = 0
+
+        self.n_anchors = n_anchors
+        # deduplicated anchor-pair count used in the work budget
+        # (reference annchor.py:126)
+        self.na = int(
+            np.sum([self.nx - j for j in range(1, self.n_anchors + 1)])
+        )
+
+        self.n_neighbors = n_neighbors
+        self.p_work = p_work
+        self.n_samples = n_samples
+
+        if self.p_work > 1:
+            print("Warning: p_work should not exceed 1.  Setting it to 1.")
+            self.p_work = 1.0
+        min_p_work = (2 * (self.na + self.n_samples) + 1) / self.N
+        min_p_work = 1 if min_p_work > 1 else min_p_work
+        if self.p_work < min_p_work:
+            print("Warning: Too many anchors/samples for specified p_work.")
+            print("Increasing p_work to %5.3f." % min_p_work)
+            self.p_work = min_p_work
+        if self.p_work > 0.75:
+            print("Warning: High Value of p_work.")
+            print(
+                "Think about decreasing n_anchors or n_samples,"
+                + " or using BruteForce."
+            )
+
+        self.anchor_picker = anchor_picker or MaxMinAnchorPicker()
+        self.sampler = sampler or SimpleStratifiedSampler()
+        self.regression = regression or SimpleStratifiedLinearRegression()
+        self.error_predictor = (
+            error_predictor or SimpleStratifiedErrorRegression()
+        )
+
+        self.random_seed = random_seed
+        self.verbose = verbose
+        self.locality = locality
+        self.loc_thresh = loc_thresh
+        self.loc_min = 10 * self.n_neighbors if loc_min is None else loc_min
+        self.loc_min = int(np.clip(self.loc_min, 0, self.nx - 1))
+        self.is_metric = bool(is_metric) and self.metric.is_metric
+        self.niters = niters
+        self.lookahead = lookahead
+
+        self.RefineApprox = None
+        self.neighbor_graph = None
+
+        if get_exact_ijs is None:
+            self.get_exact_ijs = make_get_exact_ijs(
+                self.metric, verbose=self.verbose
+            )
+        else:
+            self.get_exact_ijs = get_exact_ijs
+
+        test_parallelisation(self.get_exact_ijs, self.f, self.X, self.nx, s=20)
+        self.get_exact_query_ijs = None
+
+    # -- helpers ----------------------------------------------------------
+
+    def _get_exact_query_ijs_for(self, f):
+        if self.get_exact_query_ijs is None:
+            self.get_exact_query_ijs = make_get_exact_query_ijs(
+                self.metric, verbose=self.verbose
+            )
+        return self.get_exact_query_ijs
+
+    def _eval_pairs(self, IJ):
+        """Evaluate exact distances for pairs, counting evals."""
+        d = np.asarray(
+            self.get_exact_ijs(self.f, self.X, np.asarray(IJ)),
+            dtype=np.float64,
+        )
+        self.evals += d.shape[0]
+        return d
+
+    # -- pipeline stages ---------------------------------------------------
+
+    def get_anchors(self):
+        """Anchors + (nx, n_anchors) distance columns
+        (reference annchor.py:191-206)."""
+        self.A, self.D, evals = self.anchor_picker.get_anchors(self)
+        self.evals += evals
+
+    def get_locality(self):
+        """Candidate pairs from shared near-anchor sets
+        (reference annchor.py:208-256). Builds IJs and the padded
+        point-incidence index."""
+        self.IJs, self.sid, self.S, self.loc_eff = candidate_pairs(
+            self.D, self.locality, self.loc_thresh, self.loc_min
+        )
+        self.P_idx, self.P_cnt = pair_ops.build_point_index(self.IJs, self.nx)
+        if (self.P_cnt < self.n_neighbors).any():
+            raise Exception(
+                "Error: Not enough candidates in pool for all indices.\n"
+                + "Try again with higher locality."
+            )
+
+    def get_features_IJ(self, IJs, P_idx=None):
+        """Per-pair features (reference annchor.py:258-303)."""
+        lb, ub, dad = bounds_and_dad(self.D, IJs[:, 0], IJs[:, 1])
+        if len(self.A):
+            anchor_set = np.zeros(self.nx, dtype=bool)
+            anchor_set[np.asarray(self.A, dtype=int)] = True
+            anchors = (
+                anchor_set[IJs[:, 0]] | anchor_set[IJs[:, 1]]
+            ).astype(np.float64)
+        else:
+            anchors = np.zeros(IJs.shape[0])
+        features = np.stack([lb, ub, dad, anchors], axis=1)
+        feature_names = [
+            "lower bound",
+            "upper bound",
+            "double anchor distance",
+            "is anchor",
+        ]
+        not_computed_mask = features[:, 3] < 1
+        return feature_names, features, not_computed_mask
+
+    def get_features(self):
+        (
+            self.feature_names,
+            self.features,
+            self.not_computed_mask,
+        ) = self.get_features_IJ(self.IJs)
+
+    def get_sample(self):
+        """Stratified sample of pairs + their exact distances
+        (reference annchor.py:313-343)."""
+        (
+            self.sample_ixs,
+            self.n_samples,
+            self.sample_bins,
+        ) = self.sampler.sample(
+            self.features,
+            self.feature_names,
+            self.n_samples,
+            self.not_computed_mask,
+            self.random_seed,
+        )
+        self.sample_features = self.features[self.sample_ixs]
+        self.sample_ijs = self.IJs[self.sample_ixs]
+        self.sample_y = self._eval_pairs(self.sample_ijs)
+        self.not_computed_mask[self.sample_ixs] = False
+
+    def fit_predict_regression(self):
+        """Fit distance regression, predict all pairs, clip to bounds
+        (reference annchor.py:345-380)."""
+        self.regression.fit(
+            self.sample_features,
+            self.feature_names,
+            self.sample_y,
+            sample_bins=self.sample_bins,
+        )
+        self.pred = self.regression.predict(self.features, self.feature_names)
+        self.sample_predict = self.pred[self.sample_ixs]
+
+        ilb = self.feature_names.index("lower bound")
+        iub = self.feature_names.index("upper bound")
+        self.pred = np.clip(
+            self.pred, self.features[:, ilb], self.features[:, iub]
+        )
+
+        # without the triangle inequality the anchor-pair rows must be
+        # overwritten with their exact column values
+        # (reference annchor.py:365-372)
+        if not self.is_metric and len(self.A):
+            m = self.IJs.shape[0]
+            for col, a in enumerate(np.asarray(self.A, dtype=int)):
+                ids = self.P_idx[a][self.P_idx[a] < m]
+                others = self.IJs[ids].sum(axis=1) - a
+                self.pred[ids] = self.D[others, col]
+
+        if self.RefineApprox is None:
+            self.RefineApprox = self.pred.copy()
+        else:
+            self.RefineApprox[self.not_computed_mask] = self.pred[
+                self.not_computed_mask
+            ]
+        self.RefineApprox[self.sample_ixs] = self.sample_y
+
+    def fit_predict_errors(self):
+        """Fit the empirical residual CDFs (reference annchor.py:382-393)."""
+        self.error_predictor.fit(
+            self.sample_features,
+            self.feature_names,
+            self.sample_y - self.sample_predict,
+            sample_bins=self.sample_bins,
+        )
+        self.errors = self.error_predictor.predict(
+            self.features, self.feature_names
+        )
+
+    def select_refine_candidate_pairs(self, w=0.5, it=0):
+        """Spend the refine budget on the pairs most likely to be true
+        k-NN edges (reference annchor.py:395-473)."""
+        nn = self.n_neighbors
+        thresh = np.asarray(
+            pair_ops.kth_smallest_per_point(
+                self.RefineApprox, self.P_idx, nn
+            ),
+            dtype=np.float64,
+        )
+        self.thresh = thresh
+
+        if it == 0:
+            self.RefineApprox = pair_ops.guarantee_nmin(
+                self.RefineApprox,
+                self.not_computed_mask,
+                self.P_idx,
+                self.P_cnt,
+                3 * nn // 2,
+            )
+
+        ncm = self.not_computed_mask
+        RA_ncm = self.RefineApprox[ncm]
+        p = (
+            np.maximum(
+                thresh[self.IJs[ncm, 0]], thresh[self.IJs[ncm, 1]]
+            )
+            - RA_ncm
+        )
+        prob = pair_ops.empirical_cdf_probs(
+            p, self.errors[ncm], self.error_predictor.errs
+        )
+
+        n_refine = int(
+            (self.p_work * self.N - self.na - self.n_samples) * w
+        ) + 1
+        n_refine = max(n_refine, 0)
+
+        if n_refine >= prob.shape[0]:
+            candidates = np.arange(prob.shape[0])
+            nxt = np.arange(prob.shape[0])
+        else:
+            if n_refine * self.lookahead >= prob.shape[0]:
+                large_part = np.arange(prob.shape[0])
+            else:
+                large_part = np.argpartition(
+                    -prob, n_refine * self.lookahead
+                )[: n_refine * self.lookahead]
+            argpart = np.argpartition(-prob[large_part], n_refine)
+            candidates = large_part[argpart[:n_refine]]
+            nxt = large_part[argpart[n_refine:]]
+
+        ncm_ids = np.arange(ncm.shape[0])[ncm]
+        self.nextback = ncm_ids[nxt]
+        mapback = ncm_ids[candidates]
+
+        exact = self._eval_pairs(self.IJs[mapback])
+        self.RefineApprox[mapback] = exact
+        self.not_computed_mask[mapback] = False
+
+    def update_anchor_points(self):
+        """Bound tightening between iterations: every computed distance
+        acts as a pseudo-anchor for the still-pending lookahead pairs
+        (reference annchor.py:475-512 / utils.py:304-352)."""
+        if self.nextback.shape[0] == 0:
+            return
+        IJ_next = self.IJs[self.nextback]
+        lb_new, ub_new = tighten_bounds(
+            self.nx,
+            self.IJs,
+            self.RefineApprox,
+            self.not_computed_mask,
+            IJ_next,
+            self.features[self.nextback, 0],
+            self.features[self.nextback, 1],
+        )
+        self.features[self.nextback, 0] = lb_new
+        self.features[self.nextback, 1] = ub_new
+
+    def get_ann(self):
+        """Assemble the k-NN graph, self-prepended
+        (reference annchor.py:514-530)."""
+        ngi, ngd, _ = pair_ops.knn_from_pairs(
+            self.RefineApprox,
+            self.IJs,
+            self.P_idx,
+            self.not_computed_mask,
+            self.n_neighbors - 1,
+        )
+        self.neighbor_graph = (
+            np.concatenate(
+                [np.arange(self.nx)[:, None], ngi], axis=1
+            ),
+            np.concatenate([np.zeros((self.nx, 1)), ngd], axis=1),
+        )
+
+    def fit(self):
+        """Computes the approximate nearest neighbour graph."""
+
+        def timeit(item, origin, start):
+            print(
+                "%40s: %6.3f | %6.3f"
+                % (item, time.time() - start, time.time() - origin)
+            )
+
+        origin = time.time()
+        stages = [
+            ("get_anchors", self.get_anchors),
+            ("get_locality", self.get_locality),
+            ("get_features", self.get_features),
+        ]
+        for name, fn in stages:
+            start = time.time()
+            if self.verbose:
+                print(f"computing {name}...")
+            fn()
+            if self.verbose:
+                timeit(name, origin, start)
+
+        niters = self.niters
+        for it in range(niters):
+            start = time.time()
+            try:
+                self.get_sample()
+            except NothingToSample as err:
+                if it == 0:
+                    raise ValueError(
+                        "Sampler raised NothingToSample on first iteration."
+                    ) from err
+                print(
+                    "Warning: main loop terminated early with nothing "
+                    + "left to sample."
+                )
+                break
+            finally:
+                if self.verbose:
+                    timeit("get_sample", origin, start)
+
+            for name, fn in [
+                ("fit_predict_regression", self.fit_predict_regression),
+                ("fit_predict_errors", self.fit_predict_errors),
+            ]:
+                start = time.time()
+                fn()
+                if self.verbose:
+                    timeit(name, origin, start)
+
+            start = time.time()
+            self.select_refine_candidate_pairs(w=1 / niters, it=it)
+            if self.verbose:
+                timeit("select_refine_candidate_pairs", origin, start)
+
+            if it < niters - 1:
+                start = time.time()
+                self.update_anchor_points()
+                if self.verbose:
+                    timeit("update_anchor_points", origin, start)
+
+        start = time.time()
+        self.get_ann()
+        if self.verbose:
+            timeit("get_ann", origin, start)
+
+    def to_sparse_matrix(self):
+        """k-NN graph as a symmetrised scipy dok_matrix with +eps so
+        UMAP 'precomputed' treats stored zeros as edges
+        (reference annchor.py:625-641)."""
+        from scipy.sparse import dok_matrix
+
+        D = dok_matrix((self.nx, self.nx), dtype=np.float64)
+        eps = np.nextafter(0, 1, dtype=np.float64)
+        for i, (js, ds) in enumerate(zip(*self.neighbor_graph)):
+            for j, d in zip(js, ds):
+                D[i, j] = D[j, i] = d + eps
+        return D
+
+    def query(self, Q, nn=15, p_work=0.3, get_exact_query_ijs=None):
+        """Query new points against the fitted index
+        (reference annchor.py:643-683)."""
+        from annchor_tpu.query import query_
+
+        nq = len(Q)
+        na = self.n_anchors * nq
+        nbf = nq * self.nx
+        limit = ((nq * nn * 3) // 2 - 1 + na) / nbf
+        if p_work < limit:
+            print("Warning: p_work too low")
+            print("Increasing p_work to %5.3f" % limit)
+            p_work = limit
+        return query_(
+            self, Q, nn=nn, p_work=p_work,
+            get_exact_query_ijs=get_exact_query_ijs,
+        )
+
+    def get_nearest_enemies(self, y, nn=3, loc_min=100):
+        from annchor_tpu.enemies import get_nearest_enemies
+
+        return get_nearest_enemies(self, y, nn=nn, loc_min=loc_min)
+
+    def annchor_selective_subset(self, y, dne=None, alpha=0):
+        from annchor_tpu.enemies import annchor_selective_subset
+
+        return annchor_selective_subset(self, y, dne=dne, alpha=alpha)
+
+    def alpha_rss(self, y, dne=None, alpha=0):
+        from annchor_tpu.enemies import alpha_rss
+
+        return alpha_rss(self, y, dne=dne, alpha=alpha)
+
+
+class BruteForce:
+    """Exact k-NN graph through the same metric backend
+    (reference annchor.py:943-1023)."""
+
+    def __init__(
+        self,
+        X,
+        func,
+        func_kwargs=None,
+        verbose=False,
+        get_exact_ijs=None,
+        backend=None,
+    ):
+        self.X = X
+        self.nx = len(X)
+        self.metric = get_function_from_input(func, func_kwargs)
+        self.f = self.metric.scalar
+        self.verbose = verbose
+        if get_exact_ijs is None:
+            self.get_exact_ijs = make_get_exact_ijs(
+                self.metric, verbose=verbose
+            )
+        else:
+            self.get_exact_ijs = get_exact_ijs
+        test_parallelisation(self.get_exact_ijs, self.f, self.X, self.nx, s=20)
+
+    def fit(self):
+        nx = self.nx
+        iu = np.triu_indices(nx, k=1)
+        IJs = np.stack([iu[0], iu[1]], axis=1)
+        dists = np.asarray(
+            self.get_exact_ijs(self.f, self.X, IJs), dtype=np.float64
+        )
+        D = np.zeros((nx, nx))
+        D[iu] = dists
+        D += D.T
+        self.D = D
+        self.neighbor_graph = (
+            np.argsort(D, axis=1, kind="stable"),
+            np.sort(D, axis=1, kind="stable"),
+        )
+
+
+def compare_neighbor_graphs(nng_1, nng_2, n_neighbors):
+    """Number of incorrect NN pairs between two k-NN graphs, compared
+    as multisets of distances rounded to 3 decimals so equidistant
+    neighbours never count as errors (reference annchor.py:1026-1066).
+
+    Note the reference counts the number of *distinct* over-represented
+    rounded values per row (len of the Counter difference), which this
+    reproduces exactly.
+    """
+    d1 = np.round(np.asarray(nng_1[1])[:, :n_neighbors], 3).astype(np.float32)
+    d2 = np.round(np.asarray(nng_2[1])[:, :n_neighbors], 3).astype(np.float32)
+    err = 0
+    for a, b in zip(d1, d2):
+        av, ac = np.unique(a, return_counts=True)
+        bv, bc = np.unique(b, return_counts=True)
+        pos = np.searchsorted(bv, av)
+        pos_c = np.clip(pos, 0, max(len(bv) - 1, 0))
+        matched = (
+            (pos < len(bv)) & (bv[pos_c] == av) if len(bv) else np.zeros_like(av, bool)
+        )
+        cb = np.where(matched, bc[pos_c], 0)
+        err += int(np.sum(ac > cb))
+    return int(err)

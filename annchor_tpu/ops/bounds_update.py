@@ -1,0 +1,104 @@
+"""Bound tightening from computed distances ("pseudo-anchors").
+
+Between refinement iterations, every already-computed exact distance
+can tighten the triangle-inequality bounds of still-pending pairs: for
+pair (i, j) and any point y with both d(i,y) and d(j,y) known,
+
+    LB >= |d(i,y) - d(j,y)|      UB <= d(i,y) + d(j,y).
+
+The reference walks per-point sorted lists with a two-pointer
+intersection in numba and a 10 s wall-clock bailout (reference
+annchor/annchor.py:475-512, utils.py:304-352).  The TPU formulation is
+dense: scatter computed distances into an (nx, nc) matrix E with a
+validity mask and reduce each pending pair's two gathered rows — pure
+VPU work, chunked over pairs.  For large nx the pseudo-anchor columns
+are subsampled by computed-degree (any column subset still yields
+valid bounds), keeping memory bounded.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+F32_INF = np.float32(np.inf)
+
+
+@jax.jit
+def _tighten_chunk(E, V, I, J, lb_old, ub_old):
+    Ei = jnp.take(E, I, axis=0)  # (b, nc)
+    Ej = jnp.take(E, J, axis=0)
+    both = jnp.take(V, I, axis=0) & jnp.take(V, J, axis=0)
+    lb_new = jnp.max(
+        jnp.where(both, jnp.abs(Ei - Ej), jnp.float32(-np.inf)), axis=1
+    )
+    ub_new = jnp.min(jnp.where(both, Ei + Ej, F32_INF), axis=1)
+    return (
+        jnp.maximum(lb_old, lb_new),
+        jnp.minimum(ub_old, ub_new),
+    )
+
+
+def tighten_bounds(
+    nx,
+    IJs,
+    RA,
+    ncm,
+    IJ_pending,
+    lb_old,
+    ub_old,
+    max_cols: int = 16384,
+    chunk: int = 65536,
+):
+    """Tighten (lb, ub) for the pending pairs using computed distances.
+
+    IJs/RA/ncm: full pair state; IJ_pending: (p, 2) pairs to update.
+    Returns tightened (lb, ub) float64 arrays of shape (p,).
+    """
+    IJs = np.asarray(IJs)
+    computed = ~np.asarray(ncm)
+    ci = IJs[computed, 0]
+    cj = IJs[computed, 1]
+    cd = np.asarray(RA, dtype=np.float32)[computed]
+
+    # choose pseudo-anchor columns: all points, or the highest
+    # computed-degree subset when nx is large
+    if nx <= max_cols:
+        col_of = np.arange(nx)
+        nc = nx
+    else:
+        deg = np.bincount(ci, minlength=nx) + np.bincount(cj, minlength=nx)
+        cols = np.argsort(-deg)[:max_cols]
+        col_of = np.full(nx, -1, dtype=np.int64)
+        col_of[cols] = np.arange(max_cols)
+        nc = max_cols
+
+    E = np.zeros((nx, nc), dtype=np.float32)
+    V = np.zeros((nx, nc), dtype=bool)
+    for a, b, d in ((ci, cj, cd), (cj, ci, cd)):
+        cb = col_of[b] if nx > max_cols else b
+        keep = cb >= 0 if nx > max_cols else slice(None)
+        E[a[keep], cb[keep]] = d[keep]
+        V[a[keep], cb[keep]] = True
+
+    Ed = jnp.asarray(E)
+    Vd = jnp.asarray(V)
+    p = IJ_pending.shape[0]
+    lb_out = np.asarray(lb_old, dtype=np.float64).copy()
+    ub_out = np.asarray(ub_old, dtype=np.float64).copy()
+    for s in range(0, p, chunk):
+        sl = slice(s, min(s + chunk, p))
+        lb, ub = _tighten_chunk(
+            Ed,
+            Vd,
+            jnp.asarray(IJ_pending[sl, 0]),
+            jnp.asarray(IJ_pending[sl, 1]),
+            jnp.asarray(lb_out[sl], dtype=jnp.float32),
+            jnp.asarray(ub_out[sl], dtype=jnp.float32),
+        )
+        lb_out[sl] = np.asarray(lb, dtype=np.float64)
+        ub_out[sl] = np.asarray(ub, dtype=np.float64)
+    return lb_out, ub_out

@@ -116,7 +116,7 @@ def levenshtein_pairs(
     lengths,
     I,
     J,
-    block_size: int = 2048,
+    block_size: int = 8192,
     sort_by_length: bool = True,
     backend_fn=None,
 ):
