@@ -40,6 +40,25 @@ from annchor_tpu.ops._backend import round_up
 INT32_INF = np.int32(2**30)
 
 
+def _cummin_log(x):
+    """Prefix minimum along axis 1 via a log-shift (Hillis–Steele)
+    scan: ceil(log2(n)) shifted elementwise mins.
+
+    Mathematically identical to ``lax.cummin`` but compiles orders of
+    magnitude faster on TPU (cummin's generic scan lowering is
+    pathological to compile for wide rows).
+    """
+    n = x.shape[1]
+    k = 1
+    while k < n:
+        shifted = jnp.pad(
+            x[:, :-k], ((0, 0), (k, 0)), constant_values=INT32_INF
+        )
+        x = jnp.minimum(x, shifted)
+        k *= 2
+    return x
+
+
 def encode_strings(strings, pad_to_multiple: int = 128):
     """Encode a sequence of unicode strings to a padded codepoint matrix.
 
@@ -100,7 +119,7 @@ def _lev_batch(a, b, la, lb, unroll: int = 1):
         t_full = jnp.concatenate(
             [jnp.full((B, 1), i, dtype=jnp.int32), t], axis=1
         )
-        new_row = jax.lax.cummin(t_full - cols, axis=1) + cols
+        new_row = _cummin_log(t_full - cols) + cols
         res_i = jnp.take_along_axis(new_row, lb[:, None], axis=1)[:, 0]
         result = jnp.where(i == la, res_i, result)
         return new_row, result

@@ -1,0 +1,84 @@
+"""Headline benchmark: 1600-string Levenshtein k-NN graph build.
+
+Reference numbers (BASELINE.md, reference README.md:115-116):
+ANNchor builds the k=25 graph of the bundled 1600-string set at
+p_work=0.12 in 34.299 s with 0 incorrect NN pairs (i5 MacBook Pro,
+numba JIT compile time excluded).  This script runs the same workload
+through annchor_tpu and prints ONE JSON line:
+
+    {"metric": "strings1600_build_s", "value": <seconds>, "unit": "s",
+     "vs_baseline": <seconds / 34.299>, ...}
+
+vs_baseline < 1 means faster than the reference.  A warm-up fit first
+triggers all XLA compilations (the analogue of the excluded numba JIT
+compile), then the timed fit runs with every kernel cached.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# persistent XLA compile cache so repeated runs skip recompilation
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/annchor_tpu_xla_cache")
+
+import numpy as np  # noqa: E402
+
+BASELINE_S = 34.299  # reference README.md:115
+BASELINE_ERRORS = 0
+
+
+def main():
+    import annchor_tpu as at
+    from annchor_tpu.datasets import load_strings
+
+    data = load_strings()
+    X = data["X"]
+    gt = data["neighbor_graph"]
+    k = 25
+
+    kwargs = dict(
+        func="levenshtein",
+        n_anchors=23,
+        n_neighbors=k,
+        n_samples=5000,
+        p_work=0.12,
+        niters=4,
+        random_seed=42,
+    )
+
+    def build():
+        ann = at.Annchor(X, **kwargs)
+        t0 = time.perf_counter()
+        ann.fit()
+        dt = time.perf_counter() - t0
+        return ann, dt
+
+    # warm-up: compile every kernel (reference excludes numba JIT time,
+    # BASELINE.md "First run excludes numba JIT compile time")
+    _, warm_s = build()
+
+    ann, dt = build()
+    errors = at.compare_neighbor_graphs(ann.neighbor_graph, gt, k)
+
+    result = {
+        "metric": "strings1600_build_s",
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": round(dt / BASELINE_S, 4),
+        "errors": int(errors),
+        "baseline_errors": BASELINE_ERRORS,
+        "baseline_s": BASELINE_S,
+        "warmup_s": round(warm_s, 3),
+        "evals": int(ann.evals),
+        "p_work": kwargs["p_work"],
+        "n": len(X),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

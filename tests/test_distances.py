@@ -1,0 +1,203 @@
+"""Metric kernels vs oracles (reference tests/test_distances.py:6-19,
+extended with batched-kernel parity checks per SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from annchor_tpu.distances import cosine, euclidean, levenshtein
+from annchor_tpu.ops.levenshtein import (
+    _lev_batch,
+    encode_strings,
+    levenshtein_pairs,
+    levenshtein_scalar,
+)
+
+
+def _py_lev(a: str, b: str) -> int:
+    """Pure-python oracle (independent of the library code paths)."""
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        prev = cur
+    return prev[lb]
+
+
+def _random_strings(rng, n, max_len=40, alphabet="abcde"):
+    out = []
+    for _ in range(n):
+        L = int(rng.integers(0, max_len))
+        out.append("".join(rng.choice(list(alphabet), size=L)))
+    return out
+
+
+def test_scalar_distances():
+    # reference tests/test_distances.py:6-19
+    assert levenshtein("cat", "cart") == 1
+    assert levenshtein("cat", "dog") == 3
+    assert levenshtein("", "abc") == 3
+    assert euclidean(np.array([0, 0]), np.array([3, 4])) == pytest.approx(5.0)
+    assert cosine(np.array([1.0, 0.0]), np.array([0.0, 1.0])) == (
+        pytest.approx(1.0)
+    )
+    assert cosine(np.array([2.0, 0.0]), np.array([5.0, 0.0])) == (
+        pytest.approx(0.0)
+    )
+
+
+def test_levenshtein_scalar_matches_oracle(rng):
+    strs = _random_strings(rng, 30)
+    for _ in range(60):
+        i, j = rng.integers(0, len(strs), size=2)
+        assert levenshtein_scalar(strs[i], strs[j]) == _py_lev(
+            strs[i], strs[j]
+        )
+
+
+def test_batched_levenshtein_matches_oracle(rng):
+    """The XLA cummin-row DP against the pure-python DP, mixed lengths
+    including empty strings (replaces the reference's reliance on the
+    python-Levenshtein C extension, reference distances.py:16-20)."""
+    strs = _random_strings(rng, 64, max_len=50)
+    strs[0] = ""  # edge: empty string
+    strs[1] = "a"
+    codes, lengths = encode_strings(strs)
+    m = 300
+    I = rng.integers(0, len(strs), size=m)
+    J = rng.integers(0, len(strs), size=m)
+    got = levenshtein_pairs(codes, lengths, I, J, block_size=128)
+    want = np.array([_py_lev(strs[i], strs[j]) for i, j in zip(I, J)])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_batched_levenshtein_unsorted_blocks(rng):
+    strs = _random_strings(rng, 20, max_len=30)
+    codes, lengths = encode_strings(strs)
+    I = rng.integers(0, 20, size=64)
+    J = rng.integers(0, 20, size=64)
+    a = levenshtein_pairs(codes, lengths, I, J, sort_by_length=False)
+    b = levenshtein_pairs(codes, lengths, I, J, sort_by_length=True)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_lev_batch_kernel_swapped_args(rng):
+    """Symmetry: d(a, b) == d(b, a) regardless of which side walks the
+    rows."""
+    import jax.numpy as jnp
+
+    strs = ["kitten", "sitting", "flaw", "lawn"]
+    codes, lengths = encode_strings(strs)
+    a = jnp.asarray(codes[[0, 2]])
+    b = jnp.asarray(codes[[1, 3]])
+    la = jnp.asarray(lengths[[0, 2]])
+    lb = jnp.asarray(lengths[[1, 3]])
+    d1 = np.asarray(_lev_batch(a, b, la, lb))
+    d2 = np.asarray(_lev_batch(b, a, lb, la))
+    np.testing.assert_array_equal(d1, [3, 2])
+    np.testing.assert_array_equal(d1, d2)
+
+
+def test_native_lev_batch_matches_oracle(rng):
+    from annchor_tpu import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    strs = _random_strings(rng, 32, max_len=40)
+    codes, lengths = encode_strings(strs)
+    I = rng.integers(0, 32, size=100).astype(np.int64)
+    J = rng.integers(0, 32, size=100).astype(np.int64)
+    got = native.lev_batch(codes, lengths, I, J)
+    want = np.array([_py_lev(strs[i], strs[j]) for i, j in zip(I, J)])
+    np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# optimal transport
+
+
+def _emd_1d_oracle(a, b):
+    """Exact 1-Wasserstein for 1-d histograms on the line with
+    cost |i - j|: the L1 distance between the CDFs."""
+    a = a / a.sum()
+    b = b / b.sum()
+    return float(np.abs(np.cumsum(a) - np.cumsum(b)).sum())
+
+
+def test_native_emd_matches_1d_oracle(rng):
+    from annchor_tpu import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    n = 16
+    C = np.abs(
+        np.arange(n)[:, None] - np.arange(n)[None, :]
+    ).astype(np.float64)
+    for _ in range(25):
+        a = rng.random(n)
+        b = rng.random(n)
+        a[rng.random(n) < 0.3] = 0.0  # sparse supports
+        b[rng.random(n) < 0.3] = 0.0
+        if a.sum() == 0 or b.sum() == 0:
+            continue
+        got = native.emd_single(a, b, C)
+        assert got == pytest.approx(_emd_1d_oracle(a, b), abs=1e-9)
+
+
+def test_native_emd_metric_properties(rng):
+    from annchor_tpu import native
+    from annchor_tpu.datasets import grid_cost_matrix
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    M = grid_cost_matrix(4, 4)
+    X = rng.random((12, 16))
+    X[X < 0.4] = 0.0
+    X[0] = X[1]  # identical rows -> distance 0
+    I, J = np.triu_indices(12, k=1)
+    d = native.emd_batch(X, X, M, I, J)
+    D = np.zeros((12, 12))
+    D[I, J] = d
+    D += D.T
+    assert D[0, 1] == pytest.approx(0.0, abs=1e-12)
+    # symmetry is by construction; check triangle inequality
+    for i in range(12):
+        for j in range(12):
+            for k in range(12):
+                assert D[i, j] <= D[i, k] + D[k, j] + 1e-9
+
+
+def test_emd_batch_matches_single(rng):
+    from annchor_tpu import native
+    from annchor_tpu.datasets import grid_cost_matrix
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    M = grid_cost_matrix(3, 3)
+    X = rng.random((6, 9))
+    IJ = np.array([[0, 1], [2, 3], [4, 5], [1, 4]])
+    batch = native.emd_batch(X, X, M, IJ[:, 0], IJ[:, 1])
+    single = [native.emd_single(X[i], X[j], M) for i, j in IJ]
+    np.testing.assert_allclose(batch, single, atol=1e-12)
+
+
+def test_sinkhorn_close_to_exact(rng):
+    from annchor_tpu import native
+    from annchor_tpu.datasets import grid_cost_matrix
+    from annchor_tpu.ops.wasserstein import SinkhornEngine
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    M = grid_cost_matrix(4, 4)
+    X = rng.random((8, 16))
+    eng = SinkhornEngine(M, eps=0.005, n_iter=500)
+    IJ = np.stack([np.arange(4), np.arange(4, 8)], axis=1)
+    approx = eng(X, X, IJ)
+    exact = native.emd_batch(X, X, M, IJ[:, 0], IJ[:, 1])
+    # entropic bias is bounded; must track the exact value closely
+    np.testing.assert_allclose(approx, exact, rtol=0.08, atol=0.05)

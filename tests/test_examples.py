@@ -1,0 +1,227 @@
+"""Feature tests mirroring the reference example suite
+(reference tests/test_examples.py): query recall, selective subset,
+custom anchor pickers."""
+
+import numpy as np
+import pytest
+
+import annchor_tpu as at
+from annchor_tpu.pickers import (
+    ExternalAnchorPicker,
+    MaxMinAnchorPicker,
+    RandomAnchorPicker,
+    SelectedAnchorPicker,
+)
+
+
+@pytest.fixture(scope="module")
+def fitted_blobs(blobs):
+    X, y = blobs
+    ann = at.Annchor(
+        X, "euclidean", n_anchors=15, n_neighbors=15, p_work=0.2,
+        random_seed=42,
+    )
+    ann.fit()
+    return ann, X, y
+
+
+# ---------------------------------------------------------------------------
+# query (reference test_examples.py:12-58)
+
+
+def test_query_recall(fitted_blobs, rng):
+    ann, X, y = fitted_blobs
+    Q = X[:100] + rng.normal(scale=0.05, size=(100, 2))
+    ngi, ngd = ann.query(Q, nn=15, p_work=0.3)
+    assert ngi.shape == (100, 15)
+
+    errs, total = 0, 0
+    for qi in range(0, 100, 4):
+        d = np.linalg.norm(X - Q[qi], axis=1)
+        exact = np.argsort(d)[:10]
+        errs += len(np.setdiff1d(exact, ngi[qi]))
+        total += 10
+    assert 1 - errs / total >= 0.99
+
+
+def test_query_label_accuracy(fitted_blobs, rng):
+    """1-NN label prediction through query (reference
+    test_examples.py:50-58 asserts >= 0.95)."""
+    from collections import Counter
+
+    ann, X, y = fitted_blobs
+    Q = X[200:300] + rng.normal(scale=0.05, size=(100, 2))
+    ngi, _ = ann.query(Q, nn=15, p_work=0.3)
+    pred = np.array(
+        [Counter(y[ngi[i]]).most_common(1)[0][0] for i in range(100)]
+    )
+    # calibrate against the exact 15-NN vote: these blobs overlap, so
+    # absolute accuracy is data-bound; the approximate graph must match
+    # the exact oracle's accuracy
+    D = np.linalg.norm(Q[:, None] - X[None], axis=2)
+    exact_i = np.argsort(D, axis=1)[:, :15]
+    exact_pred = np.array(
+        [Counter(y[exact_i[i]]).most_common(1)[0][0] for i in range(100)]
+    )
+    exact_acc = np.mean(exact_pred == y[200:300])
+    assert np.mean(pred == y[200:300]) >= exact_acc - 0.02
+
+
+def test_query_p_work_floor(fitted_blobs, capsys):
+    ann, X, _ = fitted_blobs
+    ann.query(X[:5], nn=15, p_work=1e-6)
+    out = capsys.readouterr().out
+    assert "p_work too low" in out
+
+
+# ---------------------------------------------------------------------------
+# nearest enemies + selective subset (reference test_examples.py:61-85)
+
+
+def test_nearest_enemies_correct(blobs):
+    from sklearn.datasets import make_blobs
+
+    X, y = make_blobs(n_samples=300, centers=5, random_state=1)
+    ann = at.Annchor(
+        X, "euclidean", n_anchors=12, n_neighbors=15, p_work=0.4,
+        random_seed=42,
+    )
+    ann.fit()
+    ngi, ngd = ann.get_nearest_enemies(y, nn=3)
+    assert ngi.shape == (300, 3)
+    # every listed enemy really has a different label
+    for i in range(300):
+        assert (y[ngi[i]] != y[i]).all()
+    # the first enemy distance matches the exact nearest enemy for the
+    # overwhelming majority of points (active learning, not exhaustive)
+    D = np.linalg.norm(X[:, None] - X[None, :], axis=2)
+    exact = np.array(
+        [D[i][y != y[i]].min() for i in range(300)]
+    )
+    close = np.isclose(ngd[:, 0], exact, rtol=1e-6)
+    assert close.mean() >= 0.97
+
+
+def test_selective_subset_covers(blobs):
+    """Defining property of the selective subset: every point's nearest
+    subset member is closer than its nearest enemy, so 1-NN over the
+    subset classifies the training set correctly
+    (reference annchor.py:789-915)."""
+    from sklearn.datasets import make_blobs
+
+    X, y = make_blobs(n_samples=400, centers=5, random_state=1)
+    ann = at.Annchor(
+        X, "euclidean", n_anchors=12, n_neighbors=15, p_work=0.4,
+        random_seed=42,
+    )
+    ann.fit()
+    ss = ann.annchor_selective_subset(y)
+    assert 0 < len(ss) < len(X)
+    D = np.linalg.norm(X[:, None] - X[None, :], axis=2)
+    nearest_in_ss = ss[np.argmin(D[:, ss], axis=1)]
+    acc = np.mean(y[nearest_in_ss] == y)
+    assert acc >= 0.99
+
+
+def test_alpha_rss(blobs):
+    from sklearn.datasets import make_moons
+
+    X, y = make_moons(n_samples=300, noise=0.1, random_state=0)
+    ann = at.Annchor(
+        X, "euclidean", n_anchors=10, n_neighbors=15, p_work=0.5,
+        random_seed=42,
+    )
+    ann.fit()
+    rss = ann.alpha_rss(y)
+    assert 0 < len(rss) < len(X)
+    D = np.linalg.norm(X[:, None] - X[None, :], axis=2)
+    nearest = rss[np.argmin(D[:, rss], axis=1)]
+    assert np.mean(y[nearest] == y) >= 0.97
+
+
+# ---------------------------------------------------------------------------
+# anchor pickers (reference test_examples.py:88-231)
+
+
+def test_maxmin_picker_reference_parity(blobs):
+    """The reference pins the maxmin anchors for blobs/seed 42 to these
+    indices (reference test_examples.py:228-231); the picker reproduces
+    the legacy RNG + the D[1:] quirk, so the same indices must appear."""
+    X, _ = blobs
+    ann = at.Annchor(
+        X, "euclidean", n_anchors=10, p_work=0.05, random_seed=42
+    )
+    ann.get_anchors()
+    np.testing.assert_array_equal(
+        ann.A, [102, 674, 347, 586, 214, 963, 365, 348, 430, 429]
+    )
+
+
+def test_selected_anchor_picker(blobs):
+    X, _ = blobs
+    picked = [5, 50, 500, 900, 333, 777, 111, 222, 444, 555]
+    ann = at.Annchor(
+        X,
+        "euclidean",
+        n_anchors=10,
+        p_work=0.05,
+        anchor_picker=SelectedAnchorPicker(picked),
+    )
+    ann.fit()
+    np.testing.assert_array_equal(np.sort(ann.A), np.sort(picked))
+    bf = at.BruteForce(X, "euclidean")
+    bf.fit()
+    err = at.compare_neighbor_graphs(
+        bf.neighbor_graph, ann.neighbor_graph, 15
+    )
+    assert err < 50
+
+
+def test_random_anchor_picker(blobs):
+    X, _ = blobs
+    ann = at.Annchor(
+        X,
+        "euclidean",
+        n_anchors=10,
+        p_work=0.05,
+        anchor_picker=RandomAnchorPicker(),
+        random_seed=3,
+    )
+    ann.fit()
+    assert len(np.unique(ann.A)) == 10
+
+
+def test_external_anchor_picker(blobs):
+    """Out-of-set anchors (reference pickers.py:55-83: A empty, D from
+    external objects)."""
+    X, _ = blobs
+    rng = np.random.default_rng(0)
+    ext = rng.uniform(X.min(), X.max(), size=(10, 2))
+    ann = at.Annchor(
+        X,
+        "euclidean",
+        n_anchors=10,
+        p_work=0.05,
+        anchor_picker=ExternalAnchorPicker(ext),
+    )
+    ann.fit()
+    assert len(ann.A) == 0
+    assert ann.D.shape == (len(X), 10)
+    bf = at.BruteForce(X, "euclidean")
+    bf.fit()
+    err = at.compare_neighbor_graphs(
+        bf.neighbor_graph, ann.neighbor_graph, 15
+    )
+    assert err < 100
+
+
+def test_maxmin_spreads_anchors(blobs):
+    """MaxMin must hit far more distinct blobs than random — the
+    qualitative property the reference example demonstrates."""
+    X, y = blobs
+    ann = at.Annchor(
+        X, "euclidean", n_anchors=10, p_work=0.05,
+        anchor_picker=MaxMinAnchorPicker(), random_seed=42,
+    )
+    ann.get_anchors()
+    assert len(np.unique(y[ann.A])) >= 8
