@@ -92,11 +92,13 @@ def make_strings(
     rng = np.random.default_rng(seed)
     chars = np.array(list(alphabet))
     X, y = [], []
-    per = n // n_clusters
+    # distribute the remainder so exactly n strings come back
+    sizes = np.full(n_clusters, n // n_clusters)
+    sizes[: n % n_clusters] += 1
     for c in range(n_clusters):
         seed_len = int(length * rng.uniform(0.85, 1.15))
         seed_str = rng.choice(chars, size=seed_len)
-        for _ in range(per):
+        for _ in range(int(sizes[c])):
             s = seed_str.copy()
             nmut = rng.binomial(seed_len, mutation_rate)
             pos = rng.integers(0, seed_len, size=nmut)

@@ -122,12 +122,85 @@ class _DenseBatchEngine:
             )
         return np.concatenate(outs).astype(np.float64)
 
+    def fused_maxmin(self, X, na, first_ix):
+        """Whole greedy max-min anchor loop as one device program
+        (see ops/levenshtein_myers.myers_maxmin for the pattern;
+        replaces na host round-trips, reference pickers.py:18-52)."""
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        kind = self.kind
+
+        @functools.partial(jax.jit, static_argnames=("na",))
+        def run(Xd, first, na):
+            n = Xd.shape[0]
+            row_ids = jnp.arange(na, dtype=jnp.int32)
+
+            def column(ix):
+                x = jnp.take(Xd, ix, axis=0)
+                if kind == "euclidean":
+                    return jnp.sqrt(jnp.sum((Xd - x) ** 2, axis=1))
+                if kind == "sqeuclidean":
+                    return jnp.sum((Xd - x) ** 2, axis=1)
+                num = Xd @ x
+                den = jnp.linalg.norm(Xd, axis=1) * jnp.linalg.norm(x)
+                return 1.0 - num / jnp.maximum(den, 1e-30)
+
+            def body(i, carry):
+                D, A, ix = carry
+                col = column(ix)
+                D = jax.lax.dynamic_update_slice_in_dim(
+                    D, col[None, :], i, axis=0
+                )
+                A = A.at[i].set(ix)
+                # reference quirk: running min excludes the first
+                # anchor's column (pickers.py:48-50 uses D[1:])
+                live = (row_ids >= 1) & (row_ids <= i)
+                minD = jnp.min(
+                    jnp.where(live[:, None], D, jnp.float32(np.inf)),
+                    axis=0,
+                )
+                nxt = jnp.where(i == 0, jnp.argmax(col), jnp.argmax(minD))
+                return D, A, nxt.astype(jnp.int32)
+
+            D0 = jnp.zeros((na, n), dtype=jnp.float32)
+            A0 = jnp.zeros((na,), dtype=jnp.int32)
+            D, A, _ = jax.lax.fori_loop(
+                0, na, body, (D0, A0, jnp.asarray(first, jnp.int32))
+            )
+            return A, D
+
+        Xd = jnp.asarray(np.asarray(X), dtype=jnp.float32)
+        A, D = run(Xd, int(first_ix), int(na))
+        return np.asarray(A), np.asarray(D, dtype=np.float64).T
+
+
+def _adaptive_block(m: int, max_block: int) -> int:
+    """Smallest power-of-two block >= m, capped at max_block.
+
+    Keeps the number of compiled kernel variants tiny while avoiding
+    the 5x padding waste of always padding small batches (e.g. the
+    1600-pair anchor columns) up to the full block size."""
+    b = 1024
+    while b < m and b < max_block:
+        b <<= 1
+    return b
+
 
 class _LevenshteinEngine:
-    """Batched TPU edit distance with per-dataset encoding cache."""
+    """Batched TPU edit distance with per-dataset encoding cache.
 
-    def __init__(self, block_size: int = 8192):
+    Uses the bit-parallel Myers kernel (ops/levenshtein_myers.py) when
+    the dataset alphabet is small enough, falling back to the row-DP
+    kernel (ops/levenshtein.py) otherwise.  Both replace the
+    reference's per-pair C-extension calls (reference
+    annchor/distances.py:16-20, utils.py:144-177)."""
+
+    def __init__(self, block_size: int = 8192, use_myers: bool = True):
         self.block_size = block_size
+        self.use_myers = use_myers
         self._cache = {}
 
     def _encode(self, X):
@@ -136,32 +209,63 @@ class _LevenshteinEngine:
         if enc is None:
             seq = list(X)
             if len(seq) and not isinstance(seq[0], str):
-                enc = _lev_ops.encode_sequences(seq)
+                codes, lengths = _lev_ops.encode_sequences(seq)
             else:
-                enc = _lev_ops.encode_strings(seq)
+                codes, lengths = _lev_ops.encode_strings(seq)
+            myers = None
+            if self.use_myers:
+                from annchor_tpu.ops.levenshtein_myers import MyersEncoding
+
+                myers = MyersEncoding.from_codes(codes, lengths)
+            if myers is None:
+                import jax.numpy as jnp
+
+                codes = jnp.asarray(codes)  # upload once, reuse per call
+            enc = (codes, lengths, myers)
             self._cache = {key: enc}  # hold one dataset at a time
         return enc
+
+    def _pairs(self, enc, I, J):
+        codes, lengths, myers = enc
+        block = _adaptive_block(len(I), self.block_size)
+        if myers is not None:
+            from annchor_tpu.ops.levenshtein_myers import myers_pairs
+
+            return myers_pairs(myers, I, J, block)
+        return _lev_ops.levenshtein_pairs(codes, lengths, I, J, block)
+
+    def fused_maxmin(self, X, na, first_ix):
+        """Fused greedy max-min anchors via the one-vs-all Myers
+        column kernel (scalar text chars -> no gathers)."""
+        _, _, myers = self._encode(X)
+        if myers is None:
+            return None
+        from annchor_tpu.ops.levenshtein_myers import myers_maxmin
+
+        return myers_maxmin(myers, int(na), int(first_ix))
 
     def __call__(self, X, Z, IJ):
         IJ = np.asarray(IJ, dtype=np.int64)
         if IJ.shape[0] == 0:
             return np.zeros(0, dtype=np.float64)
         if Z is X:
-            codes, lengths = self._encode(X)
-            d = _lev_ops.levenshtein_pairs(
-                codes, lengths, IJ[:, 0], IJ[:, 1], self.block_size
-            )
-            return d.astype(np.float64)
+            enc = self._encode(X)
+            return self._pairs(enc, IJ[:, 0], IJ[:, 1]).astype(np.float64)
         # query path: concatenate X and Z into one encoding space
         seq = list(X) + list(Z)
         if len(seq) and not isinstance(seq[0], str):
             codes, lengths = _lev_ops.encode_sequences(seq)
         else:
             codes, lengths = _lev_ops.encode_strings(seq)
-        d = _lev_ops.levenshtein_pairs(
-            codes, lengths, IJ[:, 0], IJ[:, 1] + len(X), self.block_size
+        myers = None
+        if self.use_myers:
+            from annchor_tpu.ops.levenshtein_myers import MyersEncoding
+
+            myers = MyersEncoding.from_codes(codes, lengths)
+        enc = (codes, lengths, myers)
+        return self._pairs(enc, IJ[:, 0], IJ[:, 1] + len(X)).astype(
+            np.float64
         )
-        return d.astype(np.float64)
 
 
 class _EMDEngine:
@@ -296,6 +400,10 @@ def make_get_exact_ijs(metric: Metric, verbose: bool = False):
             return metric.batch(X, X, IJ)
         return np.array([f(X[i], X[j]) for i, j in IJ], dtype=np.float64)
 
+    # pickers may take fused device shortcuts only when the user has
+    # not overridden the evaluator (the get_exact_ijs plug-in contract,
+    # reference annchor.py:77-82, must always win)
+    get_exact._annchor_default = True
     return get_exact
 
 

@@ -33,6 +33,7 @@ def _build() -> None:
         "-std=c++17",
         "-shared",
         "-fPIC",
+        "-pthread",
         "-o",
         _LIB,
         _SRC,

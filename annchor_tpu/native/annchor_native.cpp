@@ -19,6 +19,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -169,6 +170,29 @@ double emd_normalised(const double* x, const double* y, int nbins,
   return emd_ssp(a.data(), b.data(), n, m, Csub.data());
 }
 
+// Stripe a batch of m independent jobs over the host cores (the
+// reference fans the same workloads over joblib worker processes,
+// reference annchor/utils.py:152-177; threads avoid its serialisation
+// overhead).  Degrades to the calling thread when only one core
+// exists or the batch is small.
+template <typename Fn>
+void parallel_for(long m, Fn&& fn) {
+  unsigned hw = std::thread::hardware_concurrency();
+  long nthreads = std::min<long>(hw ? hw : 1, (m + 63) / 64);
+  if (nthreads <= 1) {
+    for (long k = 0; k < m; ++k) fn(k);
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(nthreads);
+  for (long t = 0; t < nthreads; ++t) {
+    pool.emplace_back([=]() {
+      for (long k = t; k < m; k += nthreads) fn(k);
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+
 }  // namespace
 
 extern "C" {
@@ -183,12 +207,12 @@ double emd_single(const double* a, const double* b, long nbins,
 int emd_batch(const double* X, long nx, const double* Y, long ny, long nbins,
               const double* cost, const long* I, const long* J, long m,
               double* out) {
-  for (long k = 0; k < m; ++k) {
-    const long i = I[k], j = J[k];
-    if (i < 0 || i >= nx || j < 0 || j >= ny) return -1;
-    out[k] = emd_normalised(X + i * nbins, Y + j * nbins,
+  for (long k = 0; k < m; ++k)
+    if (I[k] < 0 || I[k] >= nx || J[k] < 0 || J[k] >= ny) return -1;
+  parallel_for(m, [=](long k) {
+    out[k] = emd_normalised(X + I[k] * nbins, Y + J[k] * nbins,
                             static_cast<int>(nbins), cost);
-  }
+  });
   return 0;
 }
 
@@ -214,13 +238,14 @@ static int lev_pair(const int32_t* a, int la, const int32_t* b, int lb,
 
 int lev_batch(const int32_t* codes, const int32_t* lengths, long n, long L,
               const long* I, const long* J, long m, int32_t* out) {
-  std::vector<int32_t> prev, cur;
-  for (long k = 0; k < m; ++k) {
+  for (long k = 0; k < m; ++k)
+    if (I[k] < 0 || I[k] >= n || J[k] < 0 || J[k] >= n) return -1;
+  parallel_for(m, [=](long k) {
+    thread_local std::vector<int32_t> prev, cur;
     const long i = I[k], j = J[k];
-    if (i < 0 || i >= n || j < 0 || j >= n) return -1;
     out[k] = lev_pair(codes + i * L, lengths[i], codes + j * L, lengths[j],
                       prev, cur);
-  }
+  });
   return 0;
 }
 

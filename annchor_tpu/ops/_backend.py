@@ -6,7 +6,9 @@ interpreter mode.  Keeping the switch in one place lets every kernel be
 written once and tested anywhere.
 """
 
+import contextlib
 import functools
+import os
 
 import jax
 
@@ -14,6 +16,28 @@ import jax
 @functools.cache
 def default_backend() -> str:
     return jax.default_backend()
+
+
+# Below this many elements a kernel launch is latency-bound, not
+# compute-bound: when the accelerator sits behind a network tunnel a
+# dispatch costs ~0.1-0.6 s while the arithmetic is microseconds, so
+# small bookkeeping ops (per-point thresholds, graph assembly on a few
+# thousand points) run on the host CPU backend instead.
+SMALL_OP_ELEMENTS = int(
+    os.environ.get("ANNCHOR_TPU_SMALL_OP_ELEMENTS", 4_000_000)
+)
+
+
+@functools.cache
+def _cpu_device():
+    return jax.devices("cpu")[0]
+
+
+def maybe_cpu(n_elements: int):
+    """Context manager routing ops below the size threshold to CPU."""
+    if n_elements < SMALL_OP_ELEMENTS and default_backend() != "cpu":
+        return jax.default_device(_cpu_device())
+    return contextlib.nullcontext()
 
 
 @functools.cache

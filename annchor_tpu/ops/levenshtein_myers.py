@@ -1,0 +1,408 @@
+"""Bit-parallel (Myers) batched Levenshtein distance for TPU.
+
+The row-DP formulation in ``levenshtein.py`` spends one VPU lane per DP
+cell.  Myers' bit-vector algorithm (Myers 1999, Hyyrö's edit-distance
+variant) packs 32 DP cells into each uint32 lane: the vertical delta
+column of the DP matrix is represented by two bit-vectors (VP/VN) and
+each text character updates them with ~15 word-parallel bitwise ops,
+so per text character the work drops from O(L) lanes to O(L/32) words
+— a ~16-25x kernel speedup at ~600-char strings.
+
+Multi-word mechanics (all on (B, W) uint32 tensors, B = pair batch,
+W = ceil(pattern_len/32) words):
+
+* the addition ``(Eq & VP) + VP`` needs carries across words — done
+  with a Kogge–Stone (generate, propagate) prefix scan over the word
+  axis, log2(W) steps;
+* the shifts ``HP << 1`` / ``HN << 1`` carry the MSB of word w into
+  the LSB of word w+1 (and shift a boundary 1 into HP's LSB, which is
+  what makes this the *distance* variant: column 0 of the DP is j);
+* per-pair pattern lengths differ, so the score tap (bit m-1) is a
+  per-pair word gather + mask test.
+
+Strings are pre-encoded against a dataset-wide dense alphabet; each
+string's Peq bitmask table (alphabet x W words) is precomputed once.
+Falls back to the row-DP kernel for huge alphabets (reference
+workloads: ACGT/a-z, so Peq stays a few MB).
+
+Replaces the python-Levenshtein C extension hot loop of the reference
+(reference annchor/distances.py:16-20, annchor/utils.py:144-177).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+UINT1 = np.uint32(1)
+UFULL = np.uint32(0xFFFFFFFF)
+
+# beyond this many distinct symbols the Peq table stops paying for
+# itself; callers fall back to the row-DP kernel
+MAX_ALPHABET = 192
+
+
+def encode_alphabet(codes: np.ndarray, lengths: np.ndarray):
+    """Map a padded codepoint matrix (pad = -1) to dense alphabet ids.
+
+    Returns (ids int32 (n, L) with -1 pads, alphabet_size) or None when
+    the alphabet is too large for the bit-parallel path.
+    """
+    codes = np.asarray(codes)
+    uniq = np.unique(codes)
+    uniq = uniq[uniq >= 0]
+    if uniq.shape[0] > MAX_ALPHABET:
+        return None
+    lut_size = int(uniq.max()) + 1 if uniq.shape[0] else 1
+    if lut_size > (1 << 22):  # degenerate sparse codepoints: use search
+        ids = np.searchsorted(uniq, np.where(codes < 0, uniq[0], codes))
+        ids = np.where(codes < 0, -1, ids).astype(np.int32)
+        return ids, int(uniq.shape[0])
+    lut = np.full(lut_size + 1, -1, dtype=np.int32)
+    lut[uniq] = np.arange(uniq.shape[0], dtype=np.int32)
+    ids = np.where(codes < 0, -1, lut[np.clip(codes, 0, lut_size)])
+    return ids.astype(np.int32), int(uniq.shape[0])
+
+
+def build_peq(ids: np.ndarray, lengths: np.ndarray, alphabet: int):
+    """Per-string Peq bitmask tables.
+
+    ids: (n, L) dense alphabet ids (-1 pad).  Returns uint32
+    (n, alphabet, W) with W = ceil(L/32); bit k of word w of Peq[s, c]
+    is set iff ids[s, 32w + k] == c.
+    """
+    n, L = ids.shape
+    W = (L + 31) // 32
+    padL = W * 32
+    idp = np.full((n, padL), -1, dtype=np.int64)
+    idp[:, :L] = ids
+    idp = idp.reshape(n, W, 32)
+    weights = (UINT1 << np.arange(32, dtype=np.uint32)).astype(np.uint32)
+    peq = np.zeros((n, alphabet, W), dtype=np.uint32)
+    # one pass per symbol: vectorised bit-packing
+    for c in range(alphabet):
+        mask = idp == c  # (n, W, 32)
+        peq[:, c, :] = (mask * weights[None, None, :]).sum(
+            axis=2, dtype=np.uint64
+        ).astype(np.uint32)
+    return peq
+
+
+def _shift1(x, fill_bit):
+    """Multi-word left-shift by one bit along the word axis (axis 1).
+
+    fill_bit: uint32 0/1 scalar or (B, 1) shifted into word 0's LSB.
+    """
+    carry = jnp.concatenate(
+        [
+            jnp.broadcast_to(
+                jnp.asarray(fill_bit, jnp.uint32), (x.shape[0], 1)
+            ),
+            x[:, :-1] >> 31,
+        ],
+        axis=1,
+    )
+    return (x << 1) | carry
+
+
+def _add_with_carry(x, y):
+    """Multi-word unsigned addition x + y over the word axis with
+    Kogge–Stone carry propagation."""
+    s = x + y
+    g = (s < x).astype(jnp.uint32)  # generate
+    p = (s == UFULL).astype(jnp.uint32)  # propagate
+    W = s.shape[1]
+    G, P = g, p
+    k = 1
+    while k < W:
+        Gs = jnp.pad(G[:, :-k], ((0, 0), (k, 0)))  # identity g=0
+        Ps = jnp.pad(P[:, :-k], ((0, 0), (k, 0)), constant_values=1)
+        G = G | (P & Gs)
+        P = P & Ps
+        k *= 2
+    carry_in = jnp.pad(G[:, :-1], ((0, 0), (1, 0)))  # exclusive
+    return s + carry_in
+
+
+@jax.jit
+def _myers_batch(peq, la, b_ids, lb):
+    """Edit distance for a batch of pre-gathered pairs.
+
+    peq: uint32 (B, alphabet, W) — pattern bitmasks (the *shorter*
+         string of each pair)
+    la:  int32 (B,) pattern lengths (la <= lb)
+    b_ids: int32 (B, L) dense alphabet ids of the text (pad -1)
+    lb:  int32 (B,) text lengths
+    Returns int32 (B,).
+    """
+    B, alphabet, W = peq.shape
+    la = la.astype(jnp.int32)
+    lb = lb.astype(jnp.int32)
+
+    # VP starts with the first `la` bits set
+    word_base = jnp.arange(W, dtype=jnp.int32)[None, :] * 32
+    nbits = jnp.clip(la[:, None] - word_base, 0, 32)
+    VP0 = jnp.where(
+        nbits >= 32,
+        UFULL,
+        (UINT1 << nbits.astype(jnp.uint32)) - UINT1,
+    ).astype(jnp.uint32)
+    VN0 = jnp.zeros((B, W), dtype=jnp.uint32)
+
+    # score tap: bit (la-1) -> word index + in-word mask
+    m1 = jnp.maximum(la - 1, 0)
+    tap_word = (m1 >> 5)[:, None]
+    tap_mask = (UINT1 << (m1 & 31).astype(jnp.uint32))[:, None]
+
+    score0 = la
+    result0 = jnp.where(la == 0, lb, 0)
+
+    max_lb = jnp.max(lb)
+
+    def body(j, carry):
+        VP, VN, score, result = carry
+        cj = jax.lax.dynamic_slice_in_dim(b_ids, j, 1, axis=1)  # (B,1)
+        Eq = jnp.take_along_axis(
+            peq, jnp.clip(cj, 0, alphabet - 1)[:, :, None], axis=1
+        )[:, 0, :]  # (B, W)
+        Eq = jnp.where(cj >= 0, Eq, jnp.uint32(0))
+
+        Xv = Eq | VN
+        D0 = (_add_with_carry(Eq & VP, VP) ^ VP) | Xv
+        HP = VN | ~(D0 | VP)
+        HN = VP & D0
+
+        hp_tap = jnp.take_along_axis(HP, tap_word, axis=1)[:, 0]
+        hn_tap = jnp.take_along_axis(HN, tap_word, axis=1)[:, 0]
+        inc = ((hp_tap & tap_mask[:, 0]) != 0).astype(jnp.int32) - (
+            (hn_tap & tap_mask[:, 0]) != 0
+        ).astype(jnp.int32)
+        active = (j < lb) & (la > 0)
+        score = score + jnp.where(active, inc, 0)
+        result = jnp.where((j == lb - 1) & (la > 0), score, result)
+
+        X = _shift1(HP, UINT1)
+        HNs = _shift1(HN, jnp.uint32(0))
+        VP = HNs | ~(D0 | X)
+        VN = X & D0
+        return VP, VN, score, result
+
+    _, _, _, result = jax.lax.fori_loop(
+        0, max_lb, body, (VP0, VN0, score0, result0)
+    )
+    return result
+
+
+@jax.jit
+def _myers_column(peq, la_all, t_ids, t_len):
+    """Edit distance from ONE text string to every dataset string.
+
+    One-vs-all structure is the key TPU win: the text character at
+    step j is a *scalar*, so Eq = peq[:, c_j, :] is a dynamic slice —
+    no per-lane gather at all (contrast _myers_batch, where every pair
+    reads a different symbol).  Used for anchor/query distance columns
+    (reference pickers.py:43-50 hot loop #1).
+
+    peq: uint32 (n, alphabet, W) — every dataset string as pattern
+    la_all: int32 (n,) pattern lengths
+    t_ids: int32 (L,) dense alphabet ids of the text (pad -1)
+    t_len: int32 scalar text length
+    Returns int32 (n,) edit distances.
+    """
+    n, alphabet, W = peq.shape
+    la = la_all.astype(jnp.int32)
+
+    word_base = jnp.arange(W, dtype=jnp.int32)[None, :] * 32
+    nbits = jnp.clip(la[:, None] - word_base, 0, 32)
+    VP0 = jnp.where(
+        nbits >= 32, UFULL, (UINT1 << nbits.astype(jnp.uint32)) - UINT1
+    ).astype(jnp.uint32)
+    VN0 = jnp.zeros((n, W), dtype=jnp.uint32)
+
+    m1 = jnp.maximum(la - 1, 0)
+    tap_word = (m1 >> 5)[:, None]
+    tap_mask = (UINT1 << (m1 & 31).astype(jnp.uint32))
+
+    def body(j, carry):
+        VP, VN, score = carry
+        cj = jnp.clip(t_ids[j], 0, alphabet - 1)
+        Eq = jax.lax.dynamic_slice_in_dim(peq, cj, 1, axis=1)[:, 0, :]
+        Xv = Eq | VN
+        D0 = (_add_with_carry(Eq & VP, VP) ^ VP) | Xv
+        HP = VN | ~(D0 | VP)
+        HN = VP & D0
+        hp_tap = jnp.take_along_axis(HP, tap_word, axis=1)[:, 0]
+        hn_tap = jnp.take_along_axis(HN, tap_word, axis=1)[:, 0]
+        inc = ((hp_tap & tap_mask) != 0).astype(jnp.int32) - (
+            (hn_tap & tap_mask) != 0
+        ).astype(jnp.int32)
+        score = score + inc
+        X = _shift1(HP, UINT1)
+        HNs = _shift1(HN, jnp.uint32(0))
+        VP = HNs | ~(D0 | X)
+        VN = X & D0
+        return VP, VN, score
+
+    _, _, score = jax.lax.fori_loop(
+        0, t_len, body, (VP0, VN0, la)
+    )
+    # empty pattern: distance is the text length
+    return jnp.where(la == 0, t_len, score)
+
+
+@functools.partial(jax.jit, static_argnames=("na",))
+def _myers_maxmin(peq, la_all, ids, first_ix, na: int):
+    """Fused greedy max-min anchor selection: the entire
+    anchors-times-columns loop runs as ONE device program (replaces
+    na sequential host-driven column evaluations, reference
+    pickers.py:18-52 incl. the D[1:] quirk at pickers.py:48-50).
+
+    Returns (A int32 (na,), D int32 (na, n)).
+    """
+    n = peq.shape[0]
+    D0 = jnp.zeros((na, n), dtype=jnp.int32)
+    A0 = jnp.zeros((na,), dtype=jnp.int32)
+    row_ids = jnp.arange(na, dtype=jnp.int32)
+
+    def body(i, carry):
+        D, A, ix = carry
+        col = _myers_column(
+            peq, la_all, jnp.take(ids, ix, axis=0), jnp.take(la_all, ix)
+        )
+        D = jax.lax.dynamic_update_slice_in_dim(D, col[None, :], i, axis=0)
+        A = A.at[i].set(ix)
+        # reference quirk: the running min EXCLUDES the first anchor's
+        # column (pickers.py:48-50 uses D[1:])
+        live = (row_ids >= 1) & (row_ids <= i)
+        minD = jnp.min(
+            jnp.where(live[:, None], D, np.int32(2**30)), axis=0
+        )
+        nxt = jnp.where(i == 0, jnp.argmax(col), jnp.argmax(minD))
+        return D, A, nxt.astype(jnp.int32)
+
+    D, A, _ = jax.lax.fori_loop(
+        0, na, body, (D0, A0, jnp.asarray(first_ix, jnp.int32))
+    )
+    return A, D
+
+
+def myers_maxmin(enc: "MyersEncoding", na: int, first_ix: int):
+    """Host wrapper for the fused max-min anchor kernel."""
+    peq, ids, la = enc.device_arrays()
+    A, D = _myers_maxmin(peq, la, ids, int(first_ix), na)
+    return np.asarray(A), np.asarray(D, dtype=np.float64).T
+
+
+def myers_columns(enc: "MyersEncoding", ixs):
+    """Distance columns for a set of source indices (one-vs-all),
+    one fused dispatch per column."""
+    peq, ids, la = enc.device_arrays()
+    cols = [
+        np.asarray(
+            _myers_column(
+                peq, la, jnp.take(ids, int(ix), axis=0), int(enc.lengths[ix])
+            )
+        )
+        for ix in np.asarray(ixs, dtype=np.int64)
+    ]
+    return np.stack(cols, axis=0)
+
+
+class MyersEncoding:
+    """Per-dataset precomputation for the bit-parallel path.
+
+    Device copies of the (immutable) tables are cached after the first
+    transfer: re-uploading a few MB per kernel call costs real time
+    when the accelerator sits behind a network tunnel."""
+
+    __slots__ = ("ids", "lengths", "peq", "alphabet", "W", "_dev")
+
+    def __init__(self, ids, lengths, peq, alphabet):
+        self.ids = ids
+        self.lengths = np.asarray(lengths, dtype=np.int32)
+        self.peq = peq
+        self.alphabet = alphabet
+        self.W = peq.shape[2]
+        self._dev = None
+
+    def device_arrays(self):
+        """(peq, ids, lengths) as cached device arrays."""
+        if self._dev is None:
+            self._dev = (
+                jnp.asarray(self.peq),
+                jnp.asarray(self.ids),
+                jnp.asarray(self.lengths),
+            )
+        return self._dev
+
+    @classmethod
+    def from_codes(cls, codes, lengths):
+        enc = encode_alphabet(codes, lengths)
+        if enc is None:
+            return None
+        ids, alphabet = enc
+        peq = build_peq(ids, lengths, alphabet)
+        return cls(ids, lengths, peq, alphabet)
+
+
+def myers_pairs(
+    enc: MyersEncoding,
+    I,
+    J,
+    block_size: int = 8192,
+    sort_by_length: bool = True,
+    word_quantum: int = 4,
+):
+    """Edit distances for pairs (I[k], J[k]) via the bit-parallel
+    kernel, chunked and length-bucketed like
+    ``levenshtein.levenshtein_pairs``.
+
+    Pairs are pre-swapped so the pattern (bitmasked side) is the
+    shorter string; sorting by pattern length lets each block slice
+    its Peq table to the fewest words (quantised to ``word_quantum``
+    to bound the number of compiled variants).
+    """
+    I = np.asarray(I, dtype=np.int64)
+    J = np.asarray(J, dtype=np.int64)
+    m = I.shape[0]
+    if m == 0:
+        return np.zeros(0, dtype=np.int32)
+    lengths = enc.lengths
+    la = lengths[I]
+    lb = lengths[J]
+    swap = la > lb
+    P = np.where(swap, J, I)  # pattern = shorter
+    T = np.where(swap, I, J)  # text = longer
+    la, lb = np.minimum(la, lb), np.maximum(la, lb)
+
+    if sort_by_length and m > block_size:
+        order = np.argsort(la, kind="stable")
+    else:
+        order = np.arange(m)
+
+    out = np.zeros(m, dtype=np.int32)
+    peq_d, ids_d, _ = enc.device_arrays()
+    for s in range(0, m, block_size):
+        sel = order[s : s + block_size]
+        bsz = sel.shape[0]
+        if bsz < block_size:
+            pad = np.zeros(block_size - bsz, dtype=np.int64)
+            gp = np.concatenate([P[sel], pad])
+            gt = np.concatenate([T[sel], pad])
+            gla = np.concatenate([la[sel], np.zeros_like(pad, np.int32)])
+            glb = np.concatenate([lb[sel], np.zeros_like(pad, np.int32)])
+        else:
+            gp, gt, gla, glb = P[sel], T[sel], la[sel], lb[sel]
+        words = -(-max(int(gla.max()), 1) // 32)
+        w_blk = min(-(-words // word_quantum) * word_quantum, enc.W)
+        d = _myers_batch(
+            jnp.take(peq_d, jnp.asarray(gp), axis=0)[:, :, :w_blk],
+            jnp.asarray(gla),
+            jnp.take(ids_d, jnp.asarray(gt), axis=0),
+            jnp.asarray(glb),
+        )
+        out[sel] = np.asarray(d)[:bsz]
+    return out

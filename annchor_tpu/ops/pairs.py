@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from annchor_tpu.ops._backend import maybe_cpu
+
 F32_INF = np.float32(np.inf)
 
 
@@ -79,12 +81,17 @@ def point_gather(values, P_idx, pad_value):
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def kth_smallest_per_point(RA, P_idx, k: int):
-    """thresh[i] = (k+1)-th smallest RefineApprox among i's pairs
-    (reference annchor.py:399-404 uses np.partition(..., nn)[nn])."""
+def _kth_smallest_jit(RA, P_idx, k: int):
     vals = point_gather(jnp.asarray(RA, jnp.float32), P_idx, F32_INF)
     neg_topk, _ = jax.lax.top_k(-vals, k + 1)
     return -neg_topk[:, k]
+
+
+def kth_smallest_per_point(RA, P_idx, k: int):
+    """thresh[i] = (k+1)-th smallest RefineApprox among i's pairs
+    (reference annchor.py:399-404 uses np.partition(..., nn)[nn])."""
+    with maybe_cpu(np.asarray(P_idx).size):
+        return _kth_smallest_jit(np.asarray(RA), np.asarray(P_idx), k)
 
 
 @jax.jit
@@ -122,15 +129,18 @@ def guarantee_nmin(RA, ncm, P_idx, P_cnt, nmin: int):
     """
     RA = np.asarray(RA, dtype=np.float64)
     ncm = np.asarray(ncm)
-    n_computed = np.asarray(
-        point_gather(jnp.asarray(~ncm), P_idx, False).sum(axis=1)
-    )
-    n_todo = jnp.asarray(np.maximum(nmin - n_computed, 0).astype(np.int32))
-    marks = np.asarray(
-        _guarantee_marks(
-            jnp.asarray(RA, jnp.float32), ncm, P_idx, P_cnt, n_todo
+    with maybe_cpu(np.asarray(P_idx).size):
+        n_computed = np.asarray(
+            point_gather(jnp.asarray(~ncm), P_idx, False).sum(axis=1)
         )
-    )
+        n_todo = jnp.asarray(
+            np.maximum(nmin - n_computed, 0).astype(np.int32)
+        )
+        marks = np.asarray(
+            _guarantee_marks(
+                jnp.asarray(RA, jnp.float32), ncm, P_idx, P_cnt, n_todo
+            )
+        )
     out = RA.copy()
     out[marks] = -1.0
     return out
@@ -180,15 +190,16 @@ def knn_from_pairs(RA, IJs, P_idx, ncm, nn: int):
     """
     nx = P_idx.shape[0]
     m = IJs.shape[0]
-    cols = np.asarray(
-        _knn_select(
-            jnp.asarray(RA, jnp.float32),
-            jnp.asarray(ncm),
-            jnp.asarray(P_idx),
-            nn,
-            m,
+    with maybe_cpu(np.asarray(P_idx).size):
+        cols = np.asarray(
+            _knn_select(
+                jnp.asarray(RA, jnp.float32),
+                jnp.asarray(ncm),
+                jnp.asarray(P_idx),
+                nn,
+                m,
+            )
         )
-    )
     pair_ids = np.take_along_axis(np.asarray(P_idx), cols, axis=1)
     pair_sum = np.concatenate([np.asarray(IJs).sum(axis=1), [0]]).astype(
         np.int64

@@ -39,9 +39,22 @@ class MaxMinAnchorPicker:
     def get_anchors(self, ann):
         nx, na = ann.nx, ann.n_anchors
         np.random.seed(ann.random_seed)
+        ix = np.random.randint(nx)
+
+        # fused device loop: the whole greedy selection runs as one
+        # jit program when the metric engine supports it and the user
+        # has not overridden the pairwise evaluator
+        fused = getattr(ann.metric.batch, "fused_maxmin", None)
+        if fused is not None and getattr(
+            ann.get_exact_ijs, "_annchor_default", False
+        ):
+            out = fused(ann.X, na, ix)
+            if out is not None:
+                A, D = out
+                return np.asarray(A, dtype=int), D, na * nx
+
         D = np.full((na, nx), np.inf)
         A = np.zeros(na, dtype=int)
-        ix = np.random.randint(nx)
         for i in range(na):
             A[i] = ix
             D[i] = _column(ann, ix)

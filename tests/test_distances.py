@@ -201,3 +201,86 @@ def test_sinkhorn_close_to_exact(rng):
     exact = native.emd_batch(X, X, M, IJ[:, 0], IJ[:, 1])
     # entropic bias is bounded; must track the exact value closely
     np.testing.assert_allclose(approx, exact, rtol=0.08, atol=0.05)
+
+
+# ---------------------------------------------------------------------------
+# bit-parallel (Myers) kernels
+
+
+def test_myers_pairs_matches_oracle(rng):
+    from annchor_tpu.ops.levenshtein_myers import (
+        MyersEncoding,
+        myers_pairs,
+    )
+
+    strs = _random_strings(rng, 48, max_len=120, alphabet="abcdefgh")
+    strs[0] = ""
+    strs[1] = "a" * 32          # word-boundary edge
+    strs[2] = "b" * 33
+    strs[3] = "ab" * 40
+    codes, lengths = encode_strings(strs)
+    enc = MyersEncoding.from_codes(codes, lengths)
+    assert enc is not None
+    I = rng.integers(0, len(strs), size=400)
+    J = rng.integers(0, len(strs), size=400)
+    got = myers_pairs(enc, I, J, block_size=128)
+    want = np.array([_py_lev(strs[i], strs[j]) for i, j in zip(I, J)])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_myers_column_matches_oracle(rng):
+    from annchor_tpu.ops.levenshtein_myers import (
+        MyersEncoding,
+        myers_columns,
+    )
+
+    strs = _random_strings(rng, 40, max_len=80)
+    strs[5] = ""
+    codes, lengths = encode_strings(strs)
+    enc = MyersEncoding.from_codes(codes, lengths)
+    cols = myers_columns(enc, [0, 5, 17])
+    for row, src in zip(cols, (0, 5, 17)):
+        want = [_py_lev(strs[src], s) for s in strs]
+        np.testing.assert_array_equal(row, want)
+
+
+def test_myers_maxmin_matches_host_loop(rng):
+    """The fused device max-min must pick the same anchors as the
+    sequential host loop (incl. the reference D[1:] quirk)."""
+    from annchor_tpu.ops.levenshtein_myers import (
+        MyersEncoding,
+        myers_maxmin,
+    )
+
+    strs = _random_strings(rng, 60, max_len=60)
+    codes, lengths = encode_strings(strs)
+    enc = MyersEncoding.from_codes(codes, lengths)
+    na, first = 8, 11
+    A, D = myers_maxmin(enc, na, first)
+
+    # host re-implementation of the same greedy rule
+    Dh = np.full((na, len(strs)), np.inf)
+    Ah = np.zeros(na, dtype=int)
+    ix = first
+    for i in range(na):
+        Ah[i] = ix
+        Dh[i] = [_py_lev(strs[ix], s) for s in strs]
+        ix = int(
+            np.argmax(Dh[0]) if i == 0 else np.argmax(np.min(Dh[1:], axis=0))
+        )
+    np.testing.assert_array_equal(A, Ah)
+    np.testing.assert_allclose(D, Dh.T)
+
+
+def test_myers_alphabet_fallback(rng):
+    """Huge alphabets disable the bit-parallel path gracefully."""
+    from annchor_tpu.ops import levenshtein_myers as lm
+
+    codes = rng.integers(0, 100000, size=(4, 64)).astype(np.int32)
+    lengths = np.full(4, 64, dtype=np.int32)
+    old = lm.MAX_ALPHABET
+    try:
+        lm.MAX_ALPHABET = 16
+        assert lm.MyersEncoding.from_codes(codes, lengths) is None
+    finally:
+        lm.MAX_ALPHABET = old
