@@ -22,8 +22,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from annchor_tpu.ops._backend import maybe_cpu
-
 F32_INF = np.float32(np.inf)
 
 
@@ -87,11 +85,23 @@ def _kth_smallest_jit(RA, P_idx, k: int):
     return -neg_topk[:, k]
 
 
+def _gather_np(values, P_idx, pad_value, dtype=np.float64):
+    padded = np.append(np.asarray(values, dtype=dtype), dtype(pad_value))
+    return padded[np.asarray(P_idx)]
+
+
 def kth_smallest_per_point(RA, P_idx, k: int):
     """thresh[i] = (k+1)-th smallest RefineApprox among i's pairs
-    (reference annchor.py:399-404 uses np.partition(..., nn)[nn])."""
-    with maybe_cpu(np.asarray(P_idx).size):
-        return _kth_smallest_jit(np.asarray(RA), np.asarray(P_idx), k)
+    (reference annchor.py:399-404 uses np.partition(..., nn)[nn]).
+
+    Small problems run as plain numpy on the host — a device dispatch
+    (or even single-core jax-CPU) is slower than the memcpy."""
+    P_idx = np.asarray(P_idx)
+    if P_idx.size < 64_000_000:
+        vals = _gather_np(RA, P_idx, np.inf)
+        kk = min(k, vals.shape[1] - 1)
+        return np.partition(vals, kk, axis=1)[:, kk]
+    return _kth_smallest_jit(np.asarray(RA), P_idx, k)
 
 
 @jax.jit
@@ -129,7 +139,21 @@ def guarantee_nmin(RA, ncm, P_idx, P_cnt, nmin: int):
     """
     RA = np.asarray(RA, dtype=np.float64)
     ncm = np.asarray(ncm)
-    with maybe_cpu(np.asarray(P_idx).size):
+    P_idx = np.asarray(P_idx)
+    m = RA.shape[0]
+    if P_idx.size < 64_000_000:  # host numpy path (see kth_smallest)
+        ncm_pad = _gather_np(ncm, P_idx, False, dtype=bool)
+        vals = _gather_np(RA, P_idx, np.inf)
+        todo_vals = np.where(ncm_pad, vals, np.inf)
+        n_computed = (~ncm_pad & (P_idx < m)).sum(axis=1)
+        n_todo = np.clip(nmin - n_computed, 0, todo_vals.shape[1] - 1)
+        svals = np.sort(todo_vals, axis=1)
+        kth = np.take_along_axis(svals, n_todo[:, None], axis=1)
+        mark_rows = (todo_vals < kth) & ncm_pad & (n_todo[:, None] > 0)
+        marks = np.zeros(m + 1, dtype=bool)
+        np.maximum.at(marks, P_idx.reshape(-1), mark_rows.reshape(-1))
+        marks = marks[:m]
+    else:
         n_computed = np.asarray(
             point_gather(jnp.asarray(~ncm), P_idx, False).sum(axis=1)
         )
@@ -190,7 +214,26 @@ def knn_from_pairs(RA, IJs, P_idx, ncm, nn: int):
     """
     nx = P_idx.shape[0]
     m = IJs.shape[0]
-    with maybe_cpu(np.asarray(P_idx).size):
+    P_np = np.asarray(P_idx)
+    if P_np.size < 64_000_000:  # host numpy path (see kth_smallest)
+        vals = _gather_np(RA, P_np, np.inf)
+        ncm_pad = _gather_np(ncm, P_np, True, dtype=bool)
+        valid = P_np < m
+        mx = np.max(np.where(valid, vals, -np.inf), axis=1, keepdims=True)
+        d = np.where(valid, vals + np.where(ncm_pad, mx, 0.0), np.inf)
+        if d.shape[1] < nn:  # fewer candidate slots than neighbours
+            pad = np.full((d.shape[0], nn - d.shape[1]), np.inf)
+            d = np.concatenate([d, pad], axis=1)
+            P_np = np.concatenate(
+                [P_np, np.full((d.shape[0], nn - P_np.shape[1]), m)],
+                axis=1,
+            )
+        kk = min(nn - 1, d.shape[1] - 1)
+        part = np.argpartition(d, kk, axis=1)[:, :nn]
+        dd = np.take_along_axis(d, part, axis=1)
+        order = np.argsort(dd, axis=1, kind="stable")
+        cols = np.take_along_axis(part, order, axis=1)
+    else:
         cols = np.asarray(
             _knn_select(
                 jnp.asarray(RA, jnp.float32),
@@ -200,7 +243,7 @@ def knn_from_pairs(RA, IJs, P_idx, ncm, nn: int):
                 m,
             )
         )
-    pair_ids = np.take_along_axis(np.asarray(P_idx), cols, axis=1)
+    pair_ids = np.take_along_axis(P_np, cols, axis=1)
     pair_sum = np.concatenate([np.asarray(IJs).sum(axis=1), [0]]).astype(
         np.int64
     )
