@@ -92,6 +92,7 @@ class Annchor:
         backend=None,
         niters=2,
         lookahead=5,
+        trace_dir=None,
     ):
         self.X = X
         self.nx = len(X)
@@ -144,6 +145,7 @@ class Annchor:
         self.is_metric = bool(is_metric) and self.metric.is_metric
         self.niters = niters
         self.lookahead = lookahead
+        self.trace_dir = trace_dir
 
         self.RefineApprox = None
         self.neighbor_graph = None
@@ -353,24 +355,30 @@ class Annchor:
         self.RefineApprox[mapback] = exact
         self.not_computed_mask[mapback] = False
 
-    def update_anchor_points(self):
+    def update_anchor_points(self, timeout=10, chunk_size=200000):
         """Bound tightening between iterations: every computed distance
         acts as a pseudo-anchor for the still-pending lookahead pairs
-        (reference annchor.py:475-512 / utils.py:304-352)."""
+        (reference annchor.py:475-512 / utils.py:304-352).  Chunked
+        with the reference's wall-clock bailout so a pathological pair
+        count can never stall the fit (reference annchor.py:511)."""
         if self.nextback.shape[0] == 0:
             return
-        IJ_next = self.IJs[self.nextback]
-        lb_new, ub_new = tighten_bounds(
-            self.nx,
-            self.IJs,
-            self.RefineApprox,
-            self.not_computed_mask,
-            IJ_next,
-            self.features[self.nextback, 0],
-            self.features[self.nextback, 1],
-        )
-        self.features[self.nextback, 0] = lb_new
-        self.features[self.nextback, 1] = ub_new
+        start = time.time()
+        for s in range(0, self.nextback.shape[0], chunk_size):
+            nb = self.nextback[s : s + chunk_size]
+            lb_new, ub_new = tighten_bounds(
+                self.nx,
+                self.IJs,
+                self.RefineApprox,
+                self.not_computed_mask,
+                self.IJs[nb],
+                self.features[nb, 0],
+                self.features[nb, 1],
+            )
+            self.features[nb, 0] = lb_new
+            self.features[nb, 1] = ub_new
+            if time.time() - start > timeout:
+                break
 
     def get_ann(self):
         """Assemble the k-NN graph, self-prepended
@@ -390,12 +398,29 @@ class Annchor:
         )
 
     def fit(self):
-        """Computes the approximate nearest neighbour graph."""
+        """Computes the approximate nearest neighbour graph.
+
+        With verbose=True prints the reference's stage-timer table
+        (reference annchor.py:538-543) extended with the per-stage
+        metric-call count; with trace_dir set, the whole fit runs
+        under a jax.profiler trace for TensorBoard/XProf inspection
+        (SURVEY.md §5 tracing)."""
+        if self.trace_dir is not None:
+            import jax
+
+            with jax.profiler.trace(self.trace_dir):
+                return self._fit_impl()
+        return self._fit_impl()
+
+    def _fit_impl(self):
+        evals_seen = [self.evals]
 
         def timeit(item, origin, start):
+            d_evals = self.evals - evals_seen[0]
+            evals_seen[0] = self.evals
             print(
-                "%40s: %6.3f | %6.3f"
-                % (item, time.time() - start, time.time() - origin)
+                "%40s: %6.3f | %7.3f | %7d evals"
+                % (item, time.time() - start, time.time() - origin, d_evals)
             )
 
         origin = time.time()
@@ -485,6 +510,23 @@ class Annchor:
         return query_(
             self, Q, nn=nn, p_work=p_work,
             get_exact_query_ijs=get_exact_query_ijs,
+        )
+
+    def legacy_query(
+        self, Z, k=5, alpha=1.4, beta=1.4, get_exact_query_ijs=None
+    ):
+        """Older landmark-descent query (reference
+        query_functions.py:218-338; kept for parity — the reference
+        ships it unwired to the public API)."""
+        from annchor_tpu.query import legacy_query_
+
+        return legacy_query_(
+            self,
+            Z,
+            get_exact_query_ijs=get_exact_query_ijs,
+            k=k,
+            alpha=alpha,
+            beta=beta,
         )
 
     def get_nearest_enemies(self, y, nn=3, loc_min=100):

@@ -76,32 +76,56 @@ class _DenseBatchEngine:
         self.kind = kind
         self.chunk = chunk
         self._jit = None
+        self._sharded = {}
+
+    def _raw_kernel(self):
+        import jax.numpy as jnp
+
+        kind = self.kind
+
+        def kern(X, Z, I, J):
+            a = jnp.take(X, I, axis=0)
+            b = jnp.take(Z, J, axis=0)
+            if kind == "euclidean":
+                return jnp.sqrt(jnp.sum((a - b) ** 2, axis=1))
+            if kind == "sqeuclidean":
+                return jnp.sum((a - b) ** 2, axis=1)
+            if kind == "cosine":
+                num = jnp.sum(a * b, axis=1)
+                den = jnp.linalg.norm(a, axis=1) * jnp.linalg.norm(
+                    b, axis=1
+                )
+                return 1.0 - num / jnp.maximum(den, 1e-30)
+            raise ValueError(kind)
+
+        return kern
 
     def _kernel(self):
         if self._jit is None:
             import jax
-            import jax.numpy as jnp
 
-            kind = self.kind
-
-            @jax.jit
-            def kern(X, Z, I, J):
-                a = jnp.take(X, I, axis=0)
-                b = jnp.take(Z, J, axis=0)
-                if kind == "euclidean":
-                    return jnp.sqrt(jnp.sum((a - b) ** 2, axis=1))
-                if kind == "sqeuclidean":
-                    return jnp.sum((a - b) ** 2, axis=1)
-                if kind == "cosine":
-                    num = jnp.sum(a * b, axis=1)
-                    den = jnp.linalg.norm(a, axis=1) * jnp.linalg.norm(
-                        b, axis=1
-                    )
-                    return 1.0 - num / jnp.maximum(den, 1e-30)
-                raise ValueError(kind)
-
-            self._jit = kern
+            self._jit = jax.jit(self._raw_kernel())
         return self._jit
+
+    def _kernel_for(self, mesh):
+        """Mesh-sharded variant: dataset replicated, pairs split
+        (SURVEY.md §2.2)."""
+        if mesh is None:
+            return self._kernel()
+        if mesh not in self._sharded:
+            import jax
+            from jax.sharding import PartitionSpec as P
+
+            self._sharded[mesh] = jax.jit(
+                jax.shard_map(
+                    self._raw_kernel(),
+                    mesh=mesh,
+                    in_specs=(P(), P(), P("pairs"), P("pairs")),
+                    out_specs=P("pairs"),
+                    check_vma=False,
+                )
+            )
+        return self._sharded[mesh]
 
     def __call__(self, X, Z, IJ):
         import jax.numpy as jnp
@@ -111,15 +135,24 @@ class _DenseBatchEngine:
             return np.zeros(0, dtype=np.float64)
         Xd = jnp.asarray(np.asarray(X), dtype=jnp.float32)
         Zd = Xd if Z is X else jnp.asarray(np.asarray(Z), dtype=jnp.float32)
-        kern = self._kernel()
+
+        from annchor_tpu import parallel
+
+        mesh = parallel.auto_mesh()
         outs = []
         for s in range(0, IJ.shape[0], self.chunk):
             blk = IJ[s : s + self.chunk]
-            outs.append(
-                np.asarray(
-                    kern(Xd, Zd, jnp.asarray(blk[:, 0]), jnp.asarray(blk[:, 1]))
-                )
+            m_blk = mesh
+            pad = 0
+            if m_blk is not None:
+                pad = (-blk.shape[0]) % m_blk.size
+                if pad:
+                    blk = np.concatenate([blk, blk[-1:].repeat(pad, 0)])
+            kern = self._kernel_for(m_blk)
+            d = np.asarray(
+                kern(Xd, Zd, jnp.asarray(blk[:, 0]), jnp.asarray(blk[:, 1]))
             )
+            outs.append(d[: d.shape[0] - pad] if pad else d)
         return np.concatenate(outs).astype(np.float64)
 
     def fused_maxmin(self, X, na, first_ix):
@@ -229,9 +262,13 @@ class _LevenshteinEngine:
         codes, lengths, myers = enc
         block = _adaptive_block(len(I), self.block_size)
         if myers is not None:
+            from annchor_tpu import parallel
             from annchor_tpu.ops.levenshtein_myers import myers_pairs
 
-            return myers_pairs(myers, I, J, block)
+            mesh = parallel.auto_mesh()
+            if mesh is not None and block % mesh.size:
+                mesh = None
+            return myers_pairs(myers, I, J, block, mesh=mesh)
         return _lev_ops.levenshtein_pairs(codes, lengths, I, J, block)
 
     def fused_maxmin(self, X, na, first_ix):

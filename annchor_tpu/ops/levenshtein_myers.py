@@ -127,6 +127,38 @@ def _add_with_carry(x, y):
     return s + carry_in
 
 
+def _myers_batch_from_tables(peq_tab, ids_tab, Pi, Ti, la, lb):
+    """Gather pair rows from the replicated dataset tables and run the
+    batch kernel — the shape shard_map splits over the pair axis."""
+    return _myers_batch(
+        jnp.take(peq_tab, Pi, axis=0),
+        la,
+        jnp.take(ids_tab, Ti, axis=0),
+        lb,
+    )
+
+
+_myers_from_tables_jit = jax.jit(_myers_batch_from_tables)
+
+
+@functools.lru_cache(maxsize=8)
+def _myers_from_tables_sharded(mesh):
+    """shard_map'd kernel: tables replicated, pair axis split over the
+    1-d ``pairs`` mesh (SURVEY.md §2.2: DP over pair batches)."""
+    from jax.sharding import PartitionSpec as P
+
+    return jax.jit(
+        jax.shard_map(
+            _myers_batch_from_tables,
+            mesh=mesh,
+            in_specs=(P(), P(), P("pairs"), P("pairs"), P("pairs"),
+                      P("pairs")),
+            out_specs=P("pairs"),
+            check_vma=False,
+        )
+    )
+
+
 @jax.jit
 def _myers_batch(peq, la, b_ids, lb):
     """Edit distance for a batch of pre-gathered pairs.
@@ -355,6 +387,7 @@ def myers_pairs(
     block_size: int = 8192,
     sort_by_length: bool = True,
     word_quantum: int = 4,
+    mesh=None,
 ):
     """Edit distances for pairs (I[k], J[k]) via the bit-parallel
     kernel, chunked and length-bucketed like
@@ -385,6 +418,10 @@ def myers_pairs(
 
     out = np.zeros(m, dtype=np.int32)
     peq_d, ids_d, _ = enc.device_arrays()
+    if mesh is not None:
+        run = _myers_from_tables_sharded(mesh)
+    else:
+        run = _myers_from_tables_jit
     for s in range(0, m, block_size):
         sel = order[s : s + block_size]
         bsz = sel.shape[0]
@@ -398,10 +435,12 @@ def myers_pairs(
             gp, gt, gla, glb = P[sel], T[sel], la[sel], lb[sel]
         words = -(-max(int(gla.max()), 1) // 32)
         w_blk = min(-(-words // word_quantum) * word_quantum, enc.W)
-        d = _myers_batch(
-            jnp.take(peq_d, jnp.asarray(gp), axis=0)[:, :, :w_blk],
+        d = run(
+            peq_d[:, :, :w_blk],
+            ids_d,
+            jnp.asarray(gp),
+            jnp.asarray(gt),
             jnp.asarray(gla),
-            jnp.take(ids_d, jnp.asarray(gt), axis=0),
             jnp.asarray(glb),
         )
         out[sel] = np.asarray(d)[:bsz]

@@ -101,6 +101,9 @@ class ExternalAnchorPicker:
 
     def __init__(self, A):
         self.A = A
+        # mirrored from the reference API (pickers.py:58); the flag is
+        # unused there too but user subclasses may rely on its presence
+        self.is_anchor_safe = False
 
     def get_anchors(self, ann):
         nx, na = ann.nx, ann.n_anchors

@@ -99,6 +99,118 @@ def select_refine_candidate_query_pairs(
     return QRA, Qncm
 
 
+def query_dm(Q, P, DP, f, geq, k=0, alpha=1.2, init=0):
+    """Landmark-descent query against an anchor set (the reference's
+    legacy path, reference query_functions.py:262-338, re-designed as
+    a masked batched descent so every metric call is one batch).
+
+    Each query walks the anchor graph: evaluate the current anchor,
+    extend the query's *anchor profile* — the per-anchor root sum of
+    squared deviations lM[a] = sqrt(sum_t (d_t - DP[a_t, a])^2) over
+    visited anchors a_t — and descend to the profile-minimising anchor
+    until it revisits one.  Then every anchor whose profile norm is
+    within ``alpha`` of the (k+1)-smallest is evaluated exactly.
+
+    Q: queries; P: anchor objects; DP: (na, na) anchor-to-anchor
+    distances; geq: batched evaluator geq(f, Q, P, IJ) over pairs
+    (query index, anchor index).
+    Returns (As, Ds, lMs, nevals): per-query anchor ids / exact
+    distances sorted ascending, final profile norms, metric-call count.
+    """
+    nq, mp = len(Q), len(P)
+    DP = np.asarray(DP, dtype=np.float64)
+
+    visited = [[] for _ in range(nq)]
+    dvis = [[] for _ in range(nq)]
+    sq = np.zeros((nq, mp))  # running sum of squared profile deviations
+    cur = np.full(nq, int(init))
+    active = np.ones(nq, dtype=bool)
+    nevals = 0
+
+    for _ in range(mp):
+        ids = np.nonzero(active)[0]
+        if ids.size == 0:
+            break
+        IJ = np.stack([ids, cur[ids]], axis=1)
+        d = np.asarray(geq(f, Q, P, IJ), dtype=np.float64)
+        nevals += ids.size
+        for i, di in zip(ids, d):
+            visited[i].append(int(cur[i]))
+            dvis[i].append(float(di))
+        sq[ids] += (d[:, None] - DP[cur[ids], :]) ** 2
+        lM = np.sqrt(sq[ids])
+        nxt = np.argmin(lM, axis=1)
+        for row, i in enumerate(ids):
+            if int(nxt[row]) in visited[i]:
+                active[i] = False
+            else:
+                cur[i] = int(nxt[row])
+
+    lMs = {i: np.sqrt(sq[i]) for i in range(nq)}
+
+    # expansion: all anchors within alpha of the (k+1)-smallest profile
+    todo_per_q = []
+    for i in range(nq):
+        lm = lMs[i]
+        radius = np.sort(lm)[min(k, mp - 1)] * alpha
+        cand = np.nonzero(lm < radius)[0]
+        todo_per_q.append(
+            cand[~np.isin(cand, visited[i], assume_unique=True)]
+        )
+    flat = np.array(
+        [[i, j] for i in range(nq) for j in todo_per_q[i]], dtype=np.int64
+    ).reshape(-1, 2)
+    if flat.shape[0]:
+        dflat = np.asarray(geq(f, Q, P, flat), dtype=np.float64)
+        nevals += flat.shape[0]
+    else:
+        dflat = np.zeros(0)
+    offs = np.cumsum([0] + [len(t) for t in todo_per_q])
+
+    As, Ds = {}, {}
+    for i in range(nq):
+        a = np.concatenate([visited[i], todo_per_q[i]]).astype(int)
+        d = np.concatenate([dvis[i], dflat[offs[i] : offs[i + 1]]])
+        order = np.argsort(d, kind="stable")
+        As[i], Ds[i] = a[order], d[order]
+    return As, Ds, lMs, nevals
+
+
+def legacy_query_(ann, Z, get_exact_query_ijs=None, k=5, alpha=1.4, beta=1.4):
+    """Legacy anchor-profile query (reference
+    query_functions.py:218-259): rank database points by how well
+    their anchor-distance profile matches the query's measured anchor
+    distances, then exactly evaluate the beta-expanded head.
+
+    Returns (indices (nz, k), distances (nz, k))."""
+    if get_exact_query_ijs is not None:
+        ann.get_exact_query_ijs = get_exact_query_ijs
+    geq = ann._get_exact_query_ijs_for(ann.f)
+
+    XA = _anchor_objects(ann.X, ann.A)
+    DP = ann.D[np.asarray(ann.A, dtype=int)]  # (na, na)
+    As, Ds, lMs, nevals = query_dm(
+        Z, XA, DP, ann.f, geq, k=k, alpha=alpha, init=0
+    )
+
+    nz = len(Z)
+    out_i = np.zeros((nz, k), dtype=np.int64)
+    out_d = np.zeros((nz, k))
+    for i in range(nz):
+        # profile-match every database point against this query
+        DD = np.linalg.norm(ann.D[:, As[i]] - Ds[i][None, :], axis=1)
+        isort = np.argsort(DD, kind="stable")
+        cut = np.searchsorted(DD[isort] / DD[isort[k]], beta)
+        head = isort[:cut]
+        IJ = np.stack(
+            [np.full(head.shape, i, dtype=np.int64), head], axis=1
+        )[:, ::-1]
+        nd = np.asarray(geq(ann.f, ann.X, Z, IJ), dtype=np.float64)
+        dsort = np.argsort(nd, kind="stable")[:k]
+        out_i[i], out_d[i] = head[dsort], nd[dsort]
+    return out_i, out_d
+
+
 def query_(ann, Q, nn=15, p_work=0.3, get_exact_query_ijs=None):
     """Full query pipeline (reference query_functions.py:183-212).
 

@@ -225,3 +225,23 @@ def test_maxmin_spreads_anchors(blobs):
     )
     ann.get_anchors()
     assert len(np.unique(y[ann.A])) >= 8
+
+
+def test_legacy_query(fitted_blobs, rng):
+    """Landmark-descent legacy query path (reference
+    query_functions.py:218-338): top-k must match the exact oracle on
+    well-separated data."""
+    ann, X, y = fitted_blobs
+    Q = X[50:70] + rng.normal(scale=0.02, size=(20, 2))
+    ngi, ngd = ann.legacy_query(Q, k=5)
+    assert ngi.shape == (20, 5)
+    D = np.linalg.norm(Q[:, None] - X[None], axis=2)
+    exact = np.argsort(D, axis=1)[:, :5]
+    overlap = np.mean(
+        [len(set(ngi[i]) & set(exact[i])) / 5 for i in range(20)]
+    )
+    assert overlap >= 0.9
+    # distances reported are the true metric values (float32 engine)
+    np.testing.assert_allclose(
+        ngd, np.take_along_axis(D, ngi, axis=1), rtol=1e-3, atol=1e-5
+    )

@@ -116,3 +116,36 @@ def test_entry_compiles_on_cpu():
     with jax.default_device(jax.devices("cpu")[0]):
         out = jax.jit(fn)(*args)
     assert all(np.isfinite(np.asarray(o)).all() for o in out)
+
+
+def test_engine_sharded_equivalence(mesh, rng, monkeypatch):
+    """Metric engines must give identical results when auto_mesh
+    reports a multi-device mesh (engine-level shard_map wiring)."""
+    from annchor_tpu import parallel as par
+    from annchor_tpu.metrics import get_function_from_input
+
+    X = rng.normal(size=(64, 5))
+    IJ = rng.integers(0, 64, size=(100, 2))
+    m = get_function_from_input("euclidean", None)
+    plain = m.batch(X, X, IJ)
+    monkeypatch.setattr(par, "auto_mesh", lambda: mesh)
+    m2 = get_function_from_input("euclidean", None)
+    sharded = m2.batch(X, X, IJ)
+    np.testing.assert_allclose(sharded, plain, rtol=1e-6)
+
+
+def test_levenshtein_engine_sharded_equivalence(mesh, rng, monkeypatch):
+    from annchor_tpu import parallel as par
+    from annchor_tpu.metrics import get_function_from_input
+
+    strs = [
+        "".join(rng.choice(list("abcd"), size=int(rng.integers(5, 60))))
+        for _ in range(40)
+    ]
+    IJ = rng.integers(0, 40, size=(333, 2))
+    m = get_function_from_input("levenshtein", None)
+    plain = m.batch(strs, strs, IJ)
+    monkeypatch.setattr(par, "auto_mesh", lambda: mesh)
+    m2 = get_function_from_input("levenshtein", None)
+    sharded = m2.batch(strs, strs, IJ)
+    np.testing.assert_array_equal(sharded, plain)
