@@ -30,6 +30,7 @@ def _build() -> None:
     cmd = [
         "g++",
         "-O3",
+        "-march=native",  # compiled on first import, on this host
         "-std=c++17",
         "-shared",
         "-fPIC",
@@ -38,12 +39,19 @@ def _build() -> None:
         _LIB,
         _SRC,
     ]
+    fallback = [c for c in cmd if c != "-march=native"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
     except FileNotFoundError as e:  # no g++
         raise NativeBuildError("g++ not available") from e
-    except subprocess.CalledProcessError as e:
-        raise NativeBuildError(f"native build failed:\n{e.stderr}") from e
+    except subprocess.CalledProcessError:
+        try:  # some toolchains reject -march=native (e.g. cross builds)
+            subprocess.run(fallback, check=True, capture_output=True,
+                           text=True)
+        except subprocess.CalledProcessError as e:
+            raise NativeBuildError(
+                f"native build failed:\n{e.stderr}"
+            ) from e
 
 
 def get_lib():
