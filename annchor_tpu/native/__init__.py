@@ -75,6 +75,8 @@ def get_lib():
             ctypes.c_long,
             ctypes.POINTER(ctypes.c_double),
         ]
+        lib.emd_single_ssp.restype = ctypes.c_double
+        lib.emd_single_ssp.argtypes = lib.emd_single.argtypes
         lib.emd_batch.restype = ctypes.c_int
         lib.emd_batch.argtypes = [
             ctypes.POINTER(ctypes.c_double),
@@ -116,12 +118,27 @@ def _cptr(arr, ctype):
 
 
 def emd_single(a, b, cost) -> float:
-    """Exact 1-Wasserstein distance between two histograms."""
+    """Exact 1-Wasserstein distance between two histograms (network
+    simplex)."""
     lib = get_lib()
     a = np.ascontiguousarray(a, dtype=np.float64)
     b = np.ascontiguousarray(b, dtype=np.float64)
     cost = np.ascontiguousarray(cost, dtype=np.float64)
     return lib.emd_single(
+        _cptr(a, ctypes.c_double),
+        _cptr(b, ctypes.c_double),
+        a.shape[0],
+        _cptr(cost, ctypes.c_double),
+    )
+
+
+def emd_single_ssp(a, b, cost) -> float:
+    """Exact EMD via the independent SSP solver (test cross-check)."""
+    lib = get_lib()
+    a = np.ascontiguousarray(a, dtype=np.float64)
+    b = np.ascontiguousarray(b, dtype=np.float64)
+    cost = np.ascontiguousarray(cost, dtype=np.float64)
+    return lib.emd_single_ssp(
         _cptr(a, ctypes.c_double),
         _cptr(b, ctypes.c_double),
         a.shape[0],

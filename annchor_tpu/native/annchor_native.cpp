@@ -142,12 +142,283 @@ double emd_ssp(const double* a_in, const double* b_in, int n, int m,
   return total;
 }
 
+// ---------------------------------------------------------------------------
+// Transportation network simplex.
+//
+// The SSP solver above is exact but pays a full Dijkstra per
+// augmentation (~80 augmentations on digit-sized instances).  The
+// simplex maintains a spanning-tree basis instead: each pivot is a
+// full pricing pass (n*m reduced costs) plus an O(n+m) cycle/update,
+// and typical pivot counts are ~(n+m).  On 8x8-image histograms this
+// is ~5x faster per call, matching the class of solver the reference
+// relies on (pynndescent's numba network simplex kantorovich,
+// reference annchor/utils.py:82-86).
+//
+// Implementation notes:
+//  * nodes 0..n-1 = sources, n..n+m-1 = sinks; the basis is a spanning
+//    tree of basic arcs (i, j) held as parent pointers with depths.
+//  * anti-cycling by supply perturbation (makes the problem generic),
+//    then flows are re-derived EXACTLY from the final basis tree with
+//    the unperturbed supplies (tree flows are uniquely determined), so
+//    the returned cost has no perturbation error.
+//  * Dantzig pricing (most negative reduced cost).
+class NetSimplex {
+ public:
+  double solve(const double* a, const double* b, int n, int m,
+               const double* C) {
+    n_ = n; m_ = m; N_ = n + m; C_ = C;
+    parent_.assign(N_, -1);
+    depth_.assign(N_, 0);
+    u_.assign(N_, 0.0);
+    flow_.assign(N_, 0.0);   // flow on the arc to parent
+    adj_head_.assign(N_, -1);
+    adj_next_.assign(2 * N_, -1);
+    adj_node_.assign(2 * N_, -1);
+    order_.assign(N_, 0);
+    kids_head_.assign(N_, -1);
+    kids_next_.assign(N_, -1);
+
+    // --- perturbed supplies for genericity
+    std::vector<double> ra(a, a + n), rb(b, b + m);
+    double total = 0.0;
+    for (int i = 0; i < n; ++i) total += ra[i];
+    const double eps = total * 1e-11;
+    for (int i = 0; i < n; ++i) ra[i] += eps;
+    rb[m - 1] += n * eps;
+
+    // --- northwest-corner initial basic solution: exactly n+m-1 basic
+    // cells forming a staircase spanning tree (supplies are generic
+    // after perturbation, so no degenerate double-exhaustion)
+    {
+      std::vector<double> sa(ra), sb(rb);
+      std::vector<int> arc_a, arc_b;
+      std::vector<double> arc_f;
+      arc_a.reserve(N_);
+      arc_b.reserve(N_);
+      arc_f.reserve(N_);
+      int i = 0, j = 0;
+      while (true) {
+        const double f = std::min(sa[i], sb[j]);
+        arc_a.push_back(i);
+        arc_b.push_back(j);
+        arc_f.push_back(f);
+        sa[i] -= f;
+        sb[j] -= f;
+        if (i == n - 1 && j == m - 1) break;
+        if (sa[i] <= sb[j] && i < n - 1) ++i;
+        else ++j;
+      }
+      build_tree_(arc_a, arc_b, arc_f);
+    }
+
+    const double tol = cost_scale_() * 1e-12 + 1e-15;
+    const int max_pivots = 64 * N_ + 256;
+    refresh_();
+    for (int it = 0; it < max_pivots; ++it) {
+      // Dantzig pricing over all source->sink arcs
+      double best = -tol;
+      int bi = -1, bj = -1;
+      for (int i = 0; i < n_; ++i) {
+        const double* Ci = C_ + static_cast<size_t>(i) * m_;
+        const double ui = u_[i];
+        for (int j = 0; j < m_; ++j) {
+          const double rc = Ci[j] - ui - u_[n_ + j];
+          if (rc < best) { best = rc; bi = i; bj = j; }
+        }
+      }
+      if (bi < 0) break;  // optimal
+      pivot_(bi, n_ + bj);
+      refresh_();
+    }
+
+    // --- exact flows from the final basis with unperturbed supplies:
+    // peel leaves; each leaf's parent-arc flow equals its residual
+    // imbalance (supply positive, demand negative).
+    std::vector<double> bal(N_);
+    for (int i = 0; i < n_; ++i) bal[i] = a[i];
+    for (int j = 0; j < m_; ++j) bal[n_ + j] = -b[j];
+    const std::vector<int>& order = order_;  // current BFS order
+    double cost = 0.0;
+    for (int k = static_cast<int>(order.size()) - 1; k > 0; --k) {
+      const int v = order[k];
+      const int p = parent_[v];
+      // arc between v and p carries |bal[v]|; cost counts C once
+      const int src = (v < n_) ? v : p;
+      const int snk = (v < n_) ? p - n_ : v - n_;
+      cost += std::abs(bal[v]) * C_[static_cast<size_t>(src) * m_ + snk];
+      bal[p] += bal[v];
+    }
+    return cost;
+  }
+
+ private:
+  int n_ = 0, m_ = 0, N_ = 0;
+  const double* C_ = nullptr;
+  std::vector<int> parent_, depth_;
+  std::vector<double> u_, flow_;
+  std::vector<int> adj_head_, adj_next_, adj_node_;
+  std::vector<int> order_, kids_head_, kids_next_;
+  int adj_fill_ = 0;
+
+  double cost_scale_() const {
+    double mx = 0.0;
+    for (size_t k = 0; k < static_cast<size_t>(n_) * m_; ++k)
+      mx = std::max(mx, C_[k]);
+    return mx;
+  }
+
+  void adj_add_(int a, int b) {
+    adj_node_[adj_fill_] = b;
+    adj_next_[adj_fill_] = adj_head_[a];
+    adj_head_[a] = adj_fill_++;
+  }
+
+  // build parent/depth/flow (rooted at node 0) from a basic arc list
+  // (source index, sink index, flow); flows live on the child end
+  void build_tree_(const std::vector<int>& arc_a,
+                   const std::vector<int>& arc_b,
+                   const std::vector<double>& arc_f) {
+    adj_fill_ = 0;
+    std::fill(adj_head_.begin(), adj_head_.end(), -1);
+    for (size_t k = 0; k < arc_a.size(); ++k) {
+      adj_add_(arc_a[k], n_ + arc_b[k]);
+      adj_add_(n_ + arc_b[k], arc_a[k]);
+    }
+    std::vector<int> stack{0};
+    std::vector<char> seen(N_, 0);
+    seen[0] = 1;
+    parent_[0] = -1;
+    depth_[0] = 0;
+    while (!stack.empty()) {
+      const int v = stack.back();
+      stack.pop_back();
+      for (int e = adj_head_[v]; e >= 0; e = adj_next_[e]) {
+        const int w = adj_node_[e];
+        if (seen[w]) continue;
+        seen[w] = 1;
+        parent_[w] = v;
+        depth_[w] = depth_[v] + 1;
+        stack.push_back(w);
+      }
+    }
+    std::fill(flow_.begin(), flow_.end(), 0.0);
+    for (size_t k = 0; k < arc_a.size(); ++k) {
+      const int x = arc_a[k], y = n_ + arc_b[k];
+      const int child = (parent_[x] == y) ? x : y;
+      flow_[child] = arc_f[k];
+    }
+  }
+
+  // one allocation-free pass rebuilding BFS order, depths and
+  // potentials (u[src] + v[snk] = C on basic arcs) from the parent
+  // pointers — called once per pivot
+  void refresh_() {
+    std::fill(kids_head_.begin(), kids_head_.end(), -1);
+    for (int v = 0; v < N_; ++v)
+      if (parent_[v] >= 0) {
+        kids_next_[v] = kids_head_[parent_[v]];
+        kids_head_[parent_[v]] = v;
+      }
+    order_[0] = 0;
+    depth_[0] = 0;
+    u_[0] = 0.0;
+    int tail = 1;
+    for (int h = 0; h < tail; ++h) {
+      const int v = order_[h];
+      for (int c = kids_head_[v]; c >= 0; c = kids_next_[c]) {
+        depth_[c] = depth_[v] + 1;
+        const int src = (c < n_) ? c : v;
+        const int snk = (c < n_) ? v - n_ : c - n_;
+        u_[c] = C_[static_cast<size_t>(src) * m_ + snk] - u_[v];
+        order_[tail++] = c;
+      }
+    }
+  }
+
+  void pivot_(int i, int jn) {
+    // entering arc i (source) -- jn (sink node id). Walk both ends to
+    // their LCA; min flow over the reverse-oriented cycle arcs leaves.
+    int x = i, y = jn;
+    // reverse arcs are those oriented against the entering direction:
+    // traversing from source side up, an arc child->parent is reverse
+    // iff it carries flow from sink to source orientation. For the
+    // transportation cycle the arcs alternate; the classical rule:
+    // going up from i, arcs where the child is a SOURCE are reverse;
+    // going up from jn, arcs where the child is a SINK are reverse.
+    double delta = kInf;
+    int leave = -1;  // child id of the leaving arc
+    int lx = x, ly = y;
+    while (lx != ly) {
+      if (depth_[lx] >= depth_[ly]) {
+        if (lx < n_ && flow_[lx] <= delta) { delta = flow_[lx]; leave = lx; }
+        lx = parent_[lx];
+      } else {
+        if (ly >= n_ && flow_[ly] <= delta) { delta = flow_[ly]; leave = ly; }
+        ly = parent_[ly];
+      }
+    }
+    // apply flow change around the cycle
+    int v = x;
+    while (v != lx) {
+      flow_[v] += (v < n_) ? -delta : delta;
+      v = parent_[v];
+    }
+    v = y;
+    while (v != lx) {
+      flow_[v] += (v >= n_) ? -delta : delta;
+      v = parent_[v];
+    }
+    // re-hang: entering arc replaces the leaving arc. Reverse the
+    // parent chain from the entering arc's sink-side endpoint up to
+    // the leaving arc, then attach.
+    // Choose the endpoint on the same side of the cut as `leave`.
+    int end = on_path_(x, leave) ? x : y;
+    int other = (end == x) ? y : x;
+    // reverse chain end -> leave
+    int prev = other;             // new parent of `end` via entering arc
+    double carry = delta;         // entering arc starts with flow delta
+    int cur = end;
+    while (prev != -1 && cur != -1) {
+      const int nxt = parent_[cur];
+      const double nxtflow = flow_[cur];
+      parent_[cur] = prev;
+      flow_[cur] = carry;
+      if (cur == leave) break;
+      prev = cur;
+      cur = nxt;
+      carry = nxtflow;
+    }
+    // depths/potentials refreshed by the caller (refresh_)
+  }
+
+  bool on_path_(int start, int target) const {
+    for (int v = start; v >= 0; v = parent_[v])
+      if (v == target) return true;
+    return false;
+  }
+};
+
+double emd_netsimplex(const double* a, const double* b, int n, int m,
+                      const double* C) {
+  if (n == 1 || m == 1) {  // trivial: all mass via the single node
+    double cost = 0.0;
+    if (n == 1)
+      for (int j = 0; j < m; ++j) cost += b[j] * C[j];
+    else
+      for (int i = 0; i < n; ++i)
+        cost += a[i] * C[static_cast<size_t>(i) * m];
+    return cost;
+  }
+  NetSimplex ns;
+  return ns.solve(a, b, n, m, C);
+}
+
 // Normalise histograms to unit mass (matches pynndescent kantorovich
 // semantics used by the reference, annchor/utils.py:82-86), compress
 // away zero-mass bins (digit images are ~50% zeros, and the solver is
 // quadratic in the support size), then solve.
 double emd_normalised(const double* x, const double* y, int nbins,
-                      const double* C) {
+                      const double* C, int use_ssp = 0) {
   double sx = 0.0, sy = 0.0;
   for (int i = 0; i < nbins; ++i) { sx += x[i]; sy += y[i]; }
   if (sx <= 0.0 || sy <= 0.0) return 0.0;
@@ -167,7 +438,9 @@ double emd_normalised(const double* x, const double* y, int nbins,
     const double* Ci = C + static_cast<size_t>(ia[i]) * nbins;
     for (int j = 0; j < m; ++j) Csub[static_cast<size_t>(i) * m + j] = Ci[ib[j]];
   }
-  return emd_ssp(a.data(), b.data(), n, m, Csub.data());
+  if (use_ssp)
+    return emd_ssp(a.data(), b.data(), n, m, Csub.data());
+  return emd_netsimplex(a.data(), b.data(), n, m, Csub.data());
 }
 
 // Stripe a batch of m independent jobs over the host cores (the
@@ -200,6 +473,14 @@ extern "C" {
 double emd_single(const double* a, const double* b, long nbins,
                   const double* cost) {
   return emd_normalised(a, b, static_cast<int>(nbins), cost);
+}
+
+// independent-solver cross check (successive shortest paths); used by
+// the test-suite to validate the network simplex against a second
+// exact algorithm
+double emd_single_ssp(const double* a, const double* b, long nbins,
+                      const double* cost) {
+  return emd_normalised(a, b, static_cast<int>(nbins), cost, 1);
 }
 
 // Distances for pairs (I[k] into X, J[k] into Y).  X: (nx, nbins), Y:

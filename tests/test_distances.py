@@ -284,3 +284,24 @@ def test_myers_alphabet_fallback(rng):
         assert lm.MyersEncoding.from_codes(codes, lengths) is None
     finally:
         lm.MAX_ALPHABET = old
+
+
+def test_netsimplex_matches_ssp(rng):
+    """The network-simplex EMD against the independent SSP solver on
+    2-d grid costs (two exact algorithms must agree bit-tight)."""
+    from annchor_tpu import native
+    from annchor_tpu.datasets import grid_cost_matrix
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    M = grid_cost_matrix(6, 6)
+    for _ in range(60):
+        a = rng.random(36)
+        b = rng.random(36)
+        a[rng.random(36) < 0.5] = 0.0
+        b[rng.random(36) < 0.5] = 0.0
+        if a.sum() == 0 or b.sum() == 0:
+            continue
+        ns = native.emd_single(a, b, M)
+        ssp = native.emd_single_ssp(a, b, M)
+        assert ns == pytest.approx(ssp, abs=1e-10)
