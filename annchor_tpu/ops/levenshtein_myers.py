@@ -67,6 +67,31 @@ def encode_alphabet(codes: np.ndarray, lengths: np.ndarray):
     return ids.astype(np.int32), int(uniq.shape[0])
 
 
+def build_planes(peq: np.ndarray, alphabet: int):
+    """Bitplane decomposition of the Peq tables.
+
+    Selecting Eq = peq[s, c] by a per-pair symbol c is a per-lane
+    gather — TPU-hostile.  Writing c in binary, position p matches c
+    iff every bit of the pattern symbol at p equals the corresponding
+    bit of c, so with
+
+        P[k][1] = OR of peq[:, c] over symbols with bit k set
+        P[k][0] = OR over symbols with bit k clear
+
+    the exact mask is  Eq = AND_k P[k][bit_k(c)]  — K selects + K-1
+    ANDs instead of an alphabet-way gather (K = ceil(log2(alphabet))).
+
+    Returns uint32 (K, 2, n, W).
+    """
+    n, _, W = peq.shape
+    K = max(int(np.ceil(np.log2(max(alphabet, 2)))), 1)
+    planes = np.zeros((K, 2, n, W), dtype=np.uint32)
+    for c in range(alphabet):
+        for k in range(K):
+            planes[k, (c >> k) & 1] |= peq[:, c, :]
+    return planes
+
+
 def build_peq(ids: np.ndarray, lengths: np.ndarray, alphabet: int):
     """Per-string Peq bitmask tables.
 
@@ -127,11 +152,11 @@ def _add_with_carry(x, y):
     return s + carry_in
 
 
-def _myers_batch_from_tables(peq_tab, ids_tab, Pi, Ti, la, lb):
+def _myers_batch_from_tables(planes_tab, ids_tab, Pi, Ti, la, lb):
     """Gather pair rows from the replicated dataset tables and run the
     batch kernel — the shape shard_map splits over the pair axis."""
     return _myers_batch(
-        jnp.take(peq_tab, Pi, axis=0),
+        jnp.take(planes_tab, Pi, axis=2),
         la,
         jnp.take(ids_tab, Ti, axis=0),
         lb,
@@ -160,17 +185,18 @@ def _myers_from_tables_sharded(mesh):
 
 
 @jax.jit
-def _myers_batch(peq, la, b_ids, lb):
+def _myers_batch(planes, la, b_ids, lb):
     """Edit distance for a batch of pre-gathered pairs.
 
-    peq: uint32 (B, alphabet, W) — pattern bitmasks (the *shorter*
-         string of each pair)
+    planes: uint32 (K, 2, B, W) — bitplane-decomposed Peq tables of
+            the *shorter* string of each pair (see build_planes; the
+            bitplane select avoids TPU-hostile per-lane gathers)
     la:  int32 (B,) pattern lengths (la <= lb)
     b_ids: int32 (B, L) dense alphabet ids of the text (pad -1)
     lb:  int32 (B,) text lengths
     Returns int32 (B,).
     """
-    B, alphabet, W = peq.shape
+    K, _, B, W = planes.shape
     la = la.astype(jnp.int32)
     lb = lb.astype(jnp.int32)
 
@@ -184,10 +210,14 @@ def _myers_batch(peq, la, b_ids, lb):
     ).astype(jnp.uint32)
     VN0 = jnp.zeros((B, W), dtype=jnp.uint32)
 
-    # score tap: bit (la-1) -> word index + in-word mask
+    # score tap: one-hot uint32 mask with bit (la-1) set in its word
+    # (masked reduce instead of a per-pair word gather)
     m1 = jnp.maximum(la - 1, 0)
-    tap_word = (m1 >> 5)[:, None]
-    tap_mask = (UINT1 << (m1 & 31).astype(jnp.uint32))[:, None]
+    tap = jnp.where(
+        jnp.arange(W, dtype=jnp.int32)[None, :] == (m1 >> 5)[:, None],
+        (UINT1 << (m1 & 31).astype(jnp.uint32))[:, None],
+        jnp.uint32(0),
+    )
 
     score0 = la
     result0 = jnp.where(la == 0, lb, 0)
@@ -197,9 +227,12 @@ def _myers_batch(peq, la, b_ids, lb):
     def body(j, carry):
         VP, VN, score, result = carry
         cj = jax.lax.dynamic_slice_in_dim(b_ids, j, 1, axis=1)  # (B,1)
-        Eq = jnp.take_along_axis(
-            peq, jnp.clip(cj, 0, alphabet - 1)[:, :, None], axis=1
-        )[:, 0, :]  # (B, W)
+        # Eq = AND_k planes[k][bit_k(cj)] — K selects, no gather
+        Eq = None
+        for k in range(K):
+            bit = ((cj >> k) & 1).astype(jnp.uint32)  # (B,1)
+            sel = jnp.where(bit == 1, planes[k, 1], planes[k, 0])
+            Eq = sel if Eq is None else (Eq & sel)
         Eq = jnp.where(cj >= 0, Eq, jnp.uint32(0))
 
         Xv = Eq | VN
@@ -207,11 +240,9 @@ def _myers_batch(peq, la, b_ids, lb):
         HP = VN | ~(D0 | VP)
         HN = VP & D0
 
-        hp_tap = jnp.take_along_axis(HP, tap_word, axis=1)[:, 0]
-        hn_tap = jnp.take_along_axis(HN, tap_word, axis=1)[:, 0]
-        inc = ((hp_tap & tap_mask[:, 0]) != 0).astype(jnp.int32) - (
-            (hn_tap & tap_mask[:, 0]) != 0
-        ).astype(jnp.int32)
+        hp_hit = jnp.any((HP & tap) != 0, axis=1)
+        hn_hit = jnp.any((HN & tap) != 0, axis=1)
+        inc = hp_hit.astype(jnp.int32) - hn_hit.astype(jnp.int32)
         active = (j < lb) & (la > 0)
         score = score + jnp.where(active, inc, 0)
         result = jnp.where((j == lb - 1) & (la > 0), score, result)
@@ -323,7 +354,7 @@ def _myers_maxmin(peq, la_all, ids, first_ix, na: int):
 
 def myers_maxmin(enc: "MyersEncoding", na: int, first_ix: int):
     """Host wrapper for the fused max-min anchor kernel."""
-    peq, ids, la = enc.device_arrays()
+    peq, _, ids, la = enc.device_arrays()
     A, D = _myers_maxmin(peq, la, ids, int(first_ix), na)
     return np.asarray(A), np.asarray(D, dtype=np.float64).T
 
@@ -331,7 +362,7 @@ def myers_maxmin(enc: "MyersEncoding", na: int, first_ix: int):
 def myers_columns(enc: "MyersEncoding", ixs):
     """Distance columns for a set of source indices (one-vs-all),
     one fused dispatch per column."""
-    peq, ids, la = enc.device_arrays()
+    peq, _, ids, la = enc.device_arrays()
     cols = [
         np.asarray(
             _myers_column(
@@ -350,21 +381,25 @@ class MyersEncoding:
     transfer: re-uploading a few MB per kernel call costs real time
     when the accelerator sits behind a network tunnel."""
 
-    __slots__ = ("ids", "lengths", "peq", "alphabet", "W", "_dev")
+    __slots__ = (
+        "ids", "lengths", "peq", "planes", "alphabet", "W", "_dev"
+    )
 
     def __init__(self, ids, lengths, peq, alphabet):
         self.ids = ids
         self.lengths = np.asarray(lengths, dtype=np.int32)
         self.peq = peq
+        self.planes = build_planes(peq, alphabet)
         self.alphabet = alphabet
         self.W = peq.shape[2]
         self._dev = None
 
     def device_arrays(self):
-        """(peq, ids, lengths) as cached device arrays."""
+        """(peq, planes, ids, lengths) as cached device arrays."""
         if self._dev is None:
             self._dev = (
                 jnp.asarray(self.peq),
+                jnp.asarray(self.planes),
                 jnp.asarray(self.ids),
                 jnp.asarray(self.lengths),
             )
@@ -417,7 +452,7 @@ def myers_pairs(
         order = np.arange(m)
 
     out = np.zeros(m, dtype=np.int32)
-    peq_d, ids_d, _ = enc.device_arrays()
+    _, planes_d, ids_d, _ = enc.device_arrays()
     if mesh is not None:
         run = _myers_from_tables_sharded(mesh)
     else:
@@ -436,7 +471,7 @@ def myers_pairs(
         words = -(-max(int(gla.max()), 1) // 32)
         w_blk = min(-(-words // word_quantum) * word_quantum, enc.W)
         d = run(
-            peq_d[:, :, :w_blk],
+            planes_d[:, :, :, :w_blk],
             ids_d,
             jnp.asarray(gp),
             jnp.asarray(gt),
