@@ -235,6 +235,7 @@ class _LevenshteinEngine:
         self.block_size = block_size
         self.use_myers = use_myers
         self._cache = {}
+        self._pallas_ok = None
 
     def _encode(self, X):
         key = id(X)
@@ -268,8 +269,33 @@ class _LevenshteinEngine:
             mesh = parallel.auto_mesh()
             if mesh is not None and block % mesh.size:
                 mesh = None
+            if mesh is None and self._use_pallas():
+                from annchor_tpu.ops.levenshtein_pallas import (
+                    pallas_myers_pairs,
+                )
+
+                try:
+                    return pallas_myers_pairs(myers, I, J, block)
+                except Exception as err:  # mosaic/backend issue: fall back
+                    print(
+                        "Warning: pallas levenshtein kernel failed "
+                        f"({err!r}); falling back to the XLA kernel."
+                    )
+                    self._pallas_ok = False
             return myers_pairs(myers, I, J, block, mesh=mesh)
         return _lev_ops.levenshtein_pairs(codes, lengths, I, J, block)
+
+    def _use_pallas(self) -> bool:
+        if self._pallas_ok is None:
+            import os
+
+            from annchor_tpu.ops._backend import pallas_interpret
+
+            self._pallas_ok = (
+                os.environ.get("ANNCHOR_TPU_DISABLE_PALLAS") is None
+                and not pallas_interpret()  # compiled mode only
+            )
+        return self._pallas_ok
 
     def fused_maxmin(self, X, na, first_ix):
         """Fused greedy max-min anchors via the one-vs-all Myers

@@ -46,7 +46,14 @@ def on_tpu() -> bool:
 
 
 def pallas_interpret() -> bool:
-    """Whether pallas_call should run in interpret mode."""
+    """Whether pallas_call should run in interpret mode.
+
+    Checks the *effective* default device (jax_default_device config
+    overrides the platform default — the test-suite pins CPU this
+    way), falling back to the default backend."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, "platform", None) != "tpu"
     return not on_tpu()
 
 

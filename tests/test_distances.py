@@ -305,3 +305,39 @@ def test_netsimplex_matches_ssp(rng):
         ns = native.emd_single(a, b, M)
         ssp = native.emd_single_ssp(a, b, M)
         assert ns == pytest.approx(ssp, abs=1e-10)
+
+
+def test_pallas_myers_matches_oracle(rng):
+    """The Pallas (W, T)-layout kernel in interpret mode against the
+    python oracle — same contract as the XLA Myers kernel."""
+    from annchor_tpu.ops.levenshtein_myers import MyersEncoding
+    from annchor_tpu.ops.levenshtein_pallas import pallas_myers_pairs
+
+    strs = _random_strings(rng, 40, max_len=100, alphabet="abcdef")
+    strs[0] = ""
+    strs[1] = "a" * 33
+    codes, lengths = encode_strings(strs)
+    enc = MyersEncoding.from_codes(codes, lengths)
+    I = rng.integers(0, len(strs), size=300)
+    J = rng.integers(0, len(strs), size=300)
+    got = pallas_myers_pairs(enc, I, J, block_size=1024)
+    want = np.array([_py_lev(strs[i], strs[j]) for i, j in zip(I, J)])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_matches_xla_myers(rng):
+    from annchor_tpu.ops.levenshtein_myers import (
+        MyersEncoding,
+        myers_pairs,
+    )
+    from annchor_tpu.ops.levenshtein_pallas import pallas_myers_pairs
+
+    strs = _random_strings(rng, 64, max_len=200, alphabet="abcdefghij")
+    codes, lengths = encode_strings(strs)
+    enc = MyersEncoding.from_codes(codes, lengths)
+    I = rng.integers(0, 64, size=2100)
+    J = rng.integers(0, 64, size=2100)
+    np.testing.assert_array_equal(
+        pallas_myers_pairs(enc, I, J, block_size=1024),
+        myers_pairs(enc, I, J),
+    )
