@@ -512,6 +512,22 @@ class Annchor:
             get_exact_query_ijs=get_exact_query_ijs,
         )
 
+    def save(self, path):
+        """Persist the fitted index (see annchor_tpu.io; the dataset
+        and metric are re-supplied at load time)."""
+        from annchor_tpu.io import save_annchor
+
+        save_annchor(self, path)
+
+    @classmethod
+    def load(cls, path, X, func, func_kwargs=None, **kwargs):
+        """Rebuild a fitted index saved with save()."""
+        from annchor_tpu.io import load_annchor
+
+        return load_annchor(
+            path, X, func, func_kwargs=func_kwargs, **kwargs
+        )
+
     def legacy_query(
         self, Z, k=5, alpha=1.4, beta=1.4, get_exact_query_ijs=None
     ):

@@ -27,6 +27,41 @@ import numpy as np
 F32_INF = np.float32(np.inf)
 
 
+class _OneSlotDeviceCache:
+    """Keeps the last pair array's device copy (holding the host array
+    alive so identity stays valid across the fit iterations)."""
+
+    def __init__(self):
+        self._host = None
+        self._dev = None
+
+    def get(self, arr: np.ndarray):
+        if self._host is not arr:
+            self._host = arr
+            self._dev = jnp.asarray(arr)
+        return self._dev
+
+
+_ij_cache = _OneSlotDeviceCache()
+
+
+@functools.partial(jax.jit, static_argnames=("nx",))
+def _build_E(IJ_dev, RA32, computed, nx: int):
+    """Scatter computed distances into the dense pseudo-anchor matrix
+    on device (the host used to build + upload ~20 MB per iteration;
+    now only RA and the mask travel)."""
+    ci = IJ_dev[:, 0]
+    cj = IJ_dev[:, 1]
+    d = jnp.where(computed, RA32, 0.0)
+    E = jnp.zeros((nx, nx), dtype=jnp.float32)
+    E = E.at[ci, cj].set(d, mode="drop")
+    E = E.at[cj, ci].set(d, mode="drop")
+    V = jnp.zeros((nx, nx), dtype=bool)
+    V = V.at[ci, cj].set(computed, mode="drop")
+    V = V.at[cj, ci].set(computed, mode="drop")
+    return E, V
+
+
 @jax.jit
 def _tighten_chunk(E, V, I, J, lb_old, ub_old):
     Ei = jnp.take(E, I, axis=0)  # (b, nc)
@@ -59,33 +94,37 @@ def tighten_bounds(
     Returns tightened (lb, ub) float64 arrays of shape (p,).
     """
     IJs = np.asarray(IJs)
-    computed = ~np.asarray(ncm)
-    ci = IJs[computed, 0]
-    cj = IJs[computed, 1]
-    cd = np.asarray(RA, dtype=np.float32)[computed]
-
-    # choose pseudo-anchor columns: all points, or the highest
-    # computed-degree subset when nx is large
     if nx <= max_cols:
-        col_of = np.arange(nx)
-        nc = nx
+        # build E/V on device from the (cached) pair array — only RA
+        # and the computed mask travel per call
+        ij_dev = _ij_cache.get(IJs)
+        Ed, Vd = _build_E(
+            ij_dev,
+            jnp.asarray(np.asarray(RA, dtype=np.float32)),
+            jnp.asarray(~np.asarray(ncm)),
+            int(nx),
+        )
     else:
+        computed = ~np.asarray(ncm)
+        ci = IJs[computed, 0]
+        cj = IJs[computed, 1]
+        cd = np.asarray(RA, dtype=np.float32)[computed]
+        # pseudo-anchor columns: highest computed-degree subset
         deg = np.bincount(ci, minlength=nx) + np.bincount(cj, minlength=nx)
         cols = np.argsort(-deg)[:max_cols]
         col_of = np.full(nx, -1, dtype=np.int64)
         col_of[cols] = np.arange(max_cols)
         nc = max_cols
 
-    E = np.zeros((nx, nc), dtype=np.float32)
-    V = np.zeros((nx, nc), dtype=bool)
-    for a, b, d in ((ci, cj, cd), (cj, ci, cd)):
-        cb = col_of[b] if nx > max_cols else b
-        keep = cb >= 0 if nx > max_cols else slice(None)
-        E[a[keep], cb[keep]] = d[keep]
-        V[a[keep], cb[keep]] = True
-
-    Ed = jnp.asarray(E)
-    Vd = jnp.asarray(V)
+        E = np.zeros((nx, nc), dtype=np.float32)
+        V = np.zeros((nx, nc), dtype=bool)
+        for a, b, d in ((ci, cj, cd), (cj, ci, cd)):
+            cb = col_of[b]
+            keep = cb >= 0
+            E[a[keep], cb[keep]] = d[keep]
+            V[a[keep], cb[keep]] = True
+        Ed = jnp.asarray(E)
+        Vd = jnp.asarray(V)
     p = IJ_pending.shape[0]
     lb_out = np.asarray(lb_old, dtype=np.float64).copy()
     ub_out = np.asarray(ub_old, dtype=np.float64).copy()
