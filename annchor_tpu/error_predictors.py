@@ -53,13 +53,13 @@ class SimpleStratifiedErrorRegression:
     def predict(self, features, feature_names):
         i_feature = feature_names.index(self.partition_feature_name)
         feature = features[:, i_feature]
-        labels = np.empty(features.shape[0], dtype=int)
-        for nbin in range(self.n_partitions):
-            mask = (feature >= self.partition_bins[nbin]) & (
-                feature <= self.partition_bins[nbin + 1]
-            )
-            labels[mask] = nbin
-        return labels
+        # single searchsorted pass (the per-bin mask loop costs
+        # n_partitions full passes over the pair array — noticeable at
+        # tens of millions of candidate pairs)
+        labels = np.searchsorted(
+            self.partition_bins[1:-1], feature, side="right"
+        )
+        return np.clip(labels, 0, self.n_partitions - 1)
 
     def update_errors(self, errors, partitions):
         for i in range(self.n_partitions):

@@ -128,16 +128,30 @@ def tighten_bounds(
     p = IJ_pending.shape[0]
     lb_out = np.asarray(lb_old, dtype=np.float64).copy()
     ub_out = np.asarray(ub_old, dtype=np.float64).copy()
-    for s in range(0, p, chunk):
-        sl = slice(s, min(s + chunk, p))
+    # power-of-two chunk buckets: one compiled shape across fits
+    nchunk = 4096
+    while nchunk < p and nchunk < chunk:
+        nchunk <<= 1
+    for s in range(0, p, nchunk):
+        e = min(s + nchunk, p)
+        gi = IJ_pending[s:e, 0]
+        gj = IJ_pending[s:e, 1]
+        glb = np.asarray(lb_out[s:e], dtype=np.float32)
+        gub = np.asarray(ub_out[s:e], dtype=np.float32)
+        if e - s < nchunk:
+            pad = nchunk - (e - s)
+            gi = np.concatenate([gi, np.zeros(pad, gi.dtype)])
+            gj = np.concatenate([gj, np.zeros(pad, gj.dtype)])
+            glb = np.concatenate([glb, np.zeros(pad, np.float32)])
+            gub = np.concatenate([gub, np.full(pad, np.inf, np.float32)])
         lb, ub = _tighten_chunk(
             Ed,
             Vd,
-            jnp.asarray(IJ_pending[sl, 0]),
-            jnp.asarray(IJ_pending[sl, 1]),
-            jnp.asarray(lb_out[sl], dtype=jnp.float32),
-            jnp.asarray(ub_out[sl], dtype=jnp.float32),
+            jnp.asarray(gi),
+            jnp.asarray(gj),
+            jnp.asarray(glb),
+            jnp.asarray(gub),
         )
-        lb_out[sl] = np.asarray(lb, dtype=np.float64)
-        ub_out[sl] = np.asarray(ub, dtype=np.float64)
+        lb_out[s:e] = np.asarray(lb, dtype=np.float64)[: e - s]
+        ub_out[s:e] = np.asarray(ub, dtype=np.float64)[: e - s]
     return lb_out, ub_out

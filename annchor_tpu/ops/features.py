@@ -55,18 +55,28 @@ def bounds_and_dad(D, I, J, DJ=None, chunk: int = 1 << 20):
     I = np.asarray(I, dtype=np.int32)
     J = np.asarray(J, dtype=np.int32)
     m = I.shape[0]
-    lbs, ubs, dads = [], [], []
-    for s in range(0, max(m, 1), chunk):
-        sl = slice(s, min(s + chunk, m))
-        lb, ub, dad = _bounds_dad_kernel(
-            D32, DJ32, jnp.asarray(I[sl]), jnp.asarray(J[sl]), cA_rows, cA_cols
-        )
-        lbs.append(np.asarray(lb))
-        ubs.append(np.asarray(ub))
-        dads.append(np.asarray(dad))
-    if not lbs:
+    if m == 0:
         z = np.zeros(0, dtype=np.float64)
         return z, z.copy(), z.copy()
+    # power-of-two chunk buckets: compiled shapes are shared across
+    # differing pair counts (and across fits)
+    nchunk = 4096
+    while nchunk < m and nchunk < chunk:
+        nchunk <<= 1
+    lbs, ubs, dads = [], [], []
+    for s in range(0, m, nchunk):
+        e = min(s + nchunk, m)
+        gi, gj = I[s:e], J[s:e]
+        if e - s < nchunk:  # uniform chunk shape: one compile
+            pad = nchunk - (e - s)
+            gi = np.concatenate([gi, np.zeros(pad, np.int32)])
+            gj = np.concatenate([gj, np.zeros(pad, np.int32)])
+        lb, ub, dad = _bounds_dad_kernel(
+            D32, DJ32, jnp.asarray(gi), jnp.asarray(gj), cA_rows, cA_cols
+        )
+        lbs.append(np.asarray(lb)[: e - s])
+        ubs.append(np.asarray(ub)[: e - s])
+        dads.append(np.asarray(dad)[: e - s])
     return (
         np.concatenate(lbs).astype(np.float64),
         np.concatenate(ubs).astype(np.float64),
@@ -100,19 +110,3 @@ def shared_anchor_counts(S, S_other=None):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-
-
-@functools.partial(jax.jit, static_argnames=("loc_min",))
-def adaptive_row_thresholds(counts, loc_thresh: float, loc_min: int):
-    """Per-row effective locality threshold.
-
-    Reference semantics (utils.py:469-480): the threshold drops below
-    `loc_thresh` for any row whose (loc_min+1)-th largest shared-anchor
-    count is smaller, guaranteeing >= loc_min candidates per point.
-    eff[i] = min(loc_thresh, kth_largest(counts[i], loc_min)).
-    """
-    nx = counts.shape[1]
-    k = min(loc_min, nx - 1)
-    topk, _ = jax.lax.top_k(counts, k + 1)
-    kth = topk[:, k]
-    return jnp.minimum(jnp.float32(loc_thresh), kth)

@@ -83,7 +83,9 @@ class Sampler(ABC):
             raise NothingToSample()
 
         i_feature = feature_names.index(self.partition_feature_name)
-        sample_feature = features[not_computed_mask][:, i_feature]
+        # slice the column first: copying one column beats copying the
+        # whole (m, 4) feature matrix every iteration
+        sample_feature = features[:, i_feature][not_computed_mask]
         indices = np.arange(not_computed_mask.shape[0])[not_computed_mask]
 
         sample_bins, new_n_samples = self.get_partition(

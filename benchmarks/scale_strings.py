@@ -37,8 +37,11 @@ def main(argv=None):
     ap.add_argument("--clusters", type=int, default=32)
     ap.add_argument("--k", type=int, default=15)
     ap.add_argument("--p-work", type=float, default=0.01)
-    ap.add_argument("--n-anchors", type=int, default=30)
+    ap.add_argument("--n-anchors", type=int, default=48)
     ap.add_argument("--n-samples", type=int, default=10000)
+    # at scale the locality filter must be selective or the candidate
+    # pair set explodes (the reference docs tune the same knobs)
+    ap.add_argument("--loc-thresh", type=int, default=2)
     ap.add_argument("--check-rows", type=int, default=50)
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
@@ -61,7 +64,9 @@ def main(argv=None):
         n_neighbors=args.k,
         n_samples=args.n_samples,
         p_work=args.p_work,
+        loc_thresh=args.loc_thresh,
         random_seed=args.seed,
+        verbose=True,
     )
     t0 = time.perf_counter()
     ann.fit()
