@@ -122,129 +122,156 @@ def get_nearest_enemies(ann, y, nn=3, loc_min=100):
     return ann.nearest_enemy_graph
 
 
-def _full_sorted_neighbours(ann, i, dists):
-    m = ann.IJs.shape[0]
-    ids = ann.P_idx[i][ann.P_idx[i] < m].astype(np.int64)
-    isort = np.argsort(dists[ids], kind="stable")
-    ngi = ann.IJs[ids[isort]].sum(axis=1) - i
-    ngd = dists[ids][isort]
-    return (
-        np.insert(ngi, 0, i).astype(int),
-        np.insert(ngd, 0, 0.0),
-    )
+def _enemy_dists(ann, y, dne):
+    """First-column enemy distances, computing the enemy graph lazily."""
+    if dne is not None:
+        return np.asarray(dne)
+    if not hasattr(ann, "nearest_enemy_graph"):
+        get_nearest_enemies(ann, np.asarray(y))
+    return ann.nearest_enemy_graph[1][:, 0]
 
 
-def annchor_selective_subset(ann, y, dne=None, alpha=0):
-    """Greedy selective subset for 1-NN classification
-    (reference annchor.py:789-915)."""
-    y = np.asarray(y)
-    if dne is None:
-        try:
-            dne = ann.nearest_enemy_graph[1][:, 0]
-        except AttributeError:
-            get_nearest_enemies(ann, y)
-            dne = ann.nearest_enemy_graph[1][:, 0]
-
-    zero_dist = np.argwhere(dne == 0)
-    if len(zero_dist) > 0:
-        error = (
+def _guard_zero_enemies(dne):
+    bad = np.flatnonzero(dne == 0)
+    if bad.size:
+        msg = (
             "Error: The following indices are distance zero from a point "
             + " with a different label:\n"
         )
-        for i in zero_dist:
-            error += "\t %d\n" % i
-        raise Exception(error)
+        msg += "".join("\t %d\n" % i for i in bad)
+        raise Exception(msg)
 
-    alpha_dne = dne / (1 + alpha)
-    ix = np.arange(len(ann.X))
+
+def _ranked_neighbour_table(ann):
+    """All candidate neighbours of every point, self-prepended and
+    sorted by current best distance, as two dense (nx, 1+max_deg)
+    arrays (uncomputed pairs fall back to their upper bound).
+
+    One vectorised argsort over the padded incidence matrix replaces
+    the per-point Python loop over CSR rows."""
+    m = ann.IJs.shape[0]
+    dists = np.where(
+        ann.not_computed_mask,
+        ann.features[:, ann.feature_names.index("upper bound")],
+        ann.RefineApprox,
+    )
+    pad = ann.P_idx >= m
+    ids = np.where(pad, 0, ann.P_idx).astype(np.int64)
+    dmat = np.where(pad, np.inf, dists[ids])
+    partners = np.where(
+        pad, -1, ann.IJs[ids].sum(axis=2) - np.arange(ann.nx)[:, None]
+    )
+    rank = np.argsort(dmat, axis=1, kind="stable")
+    tab_d = np.concatenate(
+        [np.zeros((ann.nx, 1)), np.take_along_axis(dmat, rank, 1)], axis=1
+    )
+    tab_j = np.concatenate(
+        [
+            np.arange(ann.nx)[:, None],
+            np.take_along_axis(partners, rank, 1),
+        ],
+        axis=1,
+    )
+    return tab_j, tab_d
+
+
+def _cover_depths(tab_d, radii):
+    """How many leading table entries lie strictly inside each point's
+    enemy radius (rows of tab_d are ascending)."""
+    return (tab_d < (radii - 1e-6)[:, None]).sum(axis=1)
+
+
+def _greedy_cover(tab_j, depth, nx):
+    """Minimum-ish hitting set: every point must have a chosen
+    representative among the first depth[i] entries of its row.
+
+    Flat incidence arrays + bincount tallies; each round picks the
+    candidate covering the most still-uncovered points (smallest index
+    on ties), identical semantics to a per-round unique/argmax scan."""
+    width = tab_j.shape[1]
+    live_entry = np.arange(width)[None, :] < depth[:, None]
+    rows = np.nonzero(live_entry)[0]
+    cands = tab_j[live_entry].astype(np.int64)
+
+    chosen = np.flatnonzero(depth == 1)  # can only represent themselves
+    member = np.zeros(nx, dtype=bool)
+    member[chosen] = True
+    uncovered = np.bincount(rows, weights=member[cands], minlength=nx) == 0
+
+    picks = list(chosen)
+    while uncovered.any():
+        open_entry = uncovered[rows]
+        tally = np.bincount(cands[open_entry], minlength=nx)
+        pick = int(tally.argmax())
+        picks.append(pick)
+        uncovered[rows[open_entry & (cands == pick)]] = False
+    return np.asarray(picks, dtype=np.int64)
+
+
+def _prune_cover(subset, tab_j, depth, nx):
+    """Drop subset members (in order) whose removal leaves every point
+    with at least one remaining in-radius representative.  Support
+    counts are maintained incrementally instead of re-summing a dense
+    matrix per deletion."""
+    slot = np.full(nx, -1, dtype=np.int64)
+    slot[subset] = np.arange(subset.shape[0])
+
+    width = tab_j.shape[1]
+    live_entry = np.arange(width)[None, :] < depth[:, None]
+    rows = np.nonzero(live_entry)[0]
+    hits = slot[tab_j[live_entry].astype(np.int64)]
+    rows, hits = rows[hits >= 0], hits[hits >= 0]
+
+    incidence = np.zeros((nx, subset.shape[0]), dtype=np.int64)
+    incidence[rows, hits] = 1
+    support = incidence.sum(axis=1)
+
+    keep = np.ones(subset.shape[0], dtype=bool)
+    for c in range(subset.shape[0]):
+        residual = support - incidence[:, c]
+        if residual.min() >= 1:
+            support = residual
+            keep[c] = False
+    return subset[keep]
+
+
+def annchor_selective_subset(ann, y, dne=None, alpha=0):
+    """Selective subset for 1-NN classification: a small set of
+    representatives such that every point has a representative closer
+    than its nearest enemy.  Greedy max-coverage pass, then an in-order
+    redundancy prune over the full candidate neighbour lists."""
+    y = np.asarray(y)
+    dne = _enemy_dists(ann, y, dne)
+    _guard_zero_enemies(dne)
+    radii = dne / (1 + alpha)
+
     ngi, ngd = ann.neighbor_graph
+    depth_knn = _cover_depths(np.asarray(ngd), radii)
+    subset = _greedy_cover(np.asarray(ngi).astype(np.int64), depth_knn, ann.nx)
 
-    # per point: how many of its NNs are strictly closer than its
-    # nearest enemy (the "buffer")
-    ebuffer = np.array(
-        [
-            np.searchsorted(_ngd, _dne - 1e-6)
-            for _ngd, _dne in zip(ngd, alpha_dne)
-        ]
-    )
-    buffer = [_ngi[:eb].astype(int) for _ngi, eb in zip(ngi, ebuffer)]
-    rss = ix[ebuffer == 1]
-
-    present = np.isin(ngi, rss)
-    amaxpresent = np.argmax(present, axis=1)
-    anypresent = np.any(present, axis=1)
-    rssbuffer = amaxpresent + ebuffer * (~anypresent)
-    done = np.array(rssbuffer < ebuffer)
-    rest = ix[~done]
-
-    while len(rest) > 0:
-        stack = np.hstack([buffer[t] for t in ix[~done]])
-        a, b = np.unique(stack, return_counts=True)
-        nxt = a[np.argmax(b)]
-        rss = np.append(rss, nxt)
-
-        present = np.isin(ngi[~done], rss[-1])
-        amaxpresent = np.argmax(present, axis=1)
-        anypresent = np.any(present, axis=1)
-        rssbuffer = amaxpresent + ebuffer[~done] * (~anypresent)
-        done[~done] += rssbuffer < ebuffer[~done]
-        rest = ix[~done]
-
-    # prune pass over the *full* ordered neighbour lists
-    # (reference annchor.py:876-915)
-    dists = ann.RefineApprox.copy()
-    iub = ann.feature_names.index("upper bound")
-    dists[ann.not_computed_mask] = ann.features[
-        ann.not_computed_mask, iub
-    ]
-    res = [_full_sorted_neighbours(ann, i, dists) for i in range(ann.nx)]
-    full_ngi = [r[0] for r in res]
-    full_ngd = [r[1] for r in res]
-    ebuffer = np.array(
-        [
-            np.searchsorted(_ngd, _dne - 1e-6)
-            for _ngd, _dne in zip(full_ngd, alpha_dne)
-        ]
-    )
-    buffer = [_ngi[:eb] for _ngi, eb in zip(full_ngi, ebuffer)]
-    ssarr = np.array(
-        [np.isin(rss, buffer[i], assume_unique=True) for i in range(ann.nx)]
-    )
-    a = np.zeros(len(rss))
-    j = 0
-    for i in range(len(rss)):
-        del_ssarr = np.delete(ssarr, i - j, axis=1)
-        mmin = np.min(np.sum(del_ssarr, axis=1))
-        if mmin != 0:
-            ssarr = del_ssarr
-            j += 1
-            a[i] = 1
-    return np.delete(rss, np.arange(len(rss))[a.astype(bool)])
+    tab_j, tab_d = _ranked_neighbour_table(ann)
+    depth_full = _cover_depths(tab_d, radii)
+    return _prune_cover(subset, tab_j, depth_full, ann.nx)
 
 
 def alpha_rss(ann, y, dne=None, alpha=0):
-    """Sequential alpha-RSS subset (reference annchor.py:917-940)."""
+    """Sequential alpha-RSS subset: visit points by ascending enemy
+    distance; a point joins the subset unless it is already within its
+    own (alpha-shrunk) enemy radius of an existing member."""
     y = np.asarray(y)
-    if dne is None:
-        try:
-            dne = ann.nearest_enemy_graph[1][:, 0]
-        except AttributeError:
-            get_nearest_enemies(ann, y)
-            dne = ann.nearest_enemy_graph[1][:, 0]
+    dne = _enemy_dists(ann, y, dne)
+    radii = dne / (1 + alpha)
 
-    ix = np.argsort(dne, kind="stable")
-    rss = [int(ix[0])]
-    alpha_dne = dne / (1 + alpha)
+    visit = np.argsort(dne, kind="stable")
+    members = [int(visit[0])]
     ann.rssDs = {}
-    for i in ix:
-        ds = np.asarray(
-            ann.get_exact_ijs(
-                ann.f, ann.X, np.array([[i, r] for r in rss])
-            )
-        )
-        ann.rssDs[int(i)] = ds
-        dnnR = np.min(ds)
-        dne_alpha = alpha_dne[i]
-        if (dnnR > dne_alpha) or np.isclose(dnnR, dne_alpha):
-            rss.append(int(i))
-    return np.array(rss)
+    for cand in visit:
+        pairs = np.column_stack(
+            [np.full(len(members), cand), members]
+        ).astype(np.int64)
+        gaps = np.asarray(ann.get_exact_ijs(ann.f, ann.X, pairs))
+        ann.rssDs[int(cand)] = gaps
+        nearest = gaps.min()
+        if nearest > radii[cand] or np.isclose(nearest, radii[cand]):
+            members.append(int(cand))
+    return np.asarray(members)

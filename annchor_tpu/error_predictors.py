@@ -1,10 +1,14 @@
-"""Empirical error model (reference annchor/error_predictors.py:18-83).
+"""Empirical error model (capability parity with reference
+annchor/error_predictors.py).
 
-Per partition bin, the fitted artefact is simply the *sorted array of
+Per stratification bin, the fitted artefact is the *sorted array of
 residuals* (d - dhat) — an empirical CDF.  "Predict" assigns each pair
 its bin label; the refinement step turns a margin p into a probability
-with a searchsorted CDF lookup (reference utils.py:581-589 /
-annchor_tpu.ops.pairs.empirical_cdf_probs).
+with a searchsorted CDF lookup (annchor_tpu.ops.pairs.empirical_cdf_probs).
+
+Everything here is single-pass vectorised: fit groups all residuals
+with one lexsort keyed on (bin, residual); update merges pre-sorted
+batches into the stored CDFs without re-sorting them.
 """
 
 from __future__ import annotations
@@ -24,46 +28,54 @@ class SimpleStratifiedErrorRegression:
         self.errs = {}
         self.partition_bins = None
 
+    def _default_bins(self, feature):
+        """Interior edges spanning the 1%–99% order statistics."""
+        pool = feature.shape[0]
+        ilo = min(pool // 100, pool - 1)
+        ihi = min((99 * pool) // 100, pool - 1)
+        part = np.partition(feature, (ilo, ihi))
+        inner = np.linspace(part[ilo], part[ihi], self.n_partitions - 1)
+        return np.concatenate(([-np.inf], inner, [np.inf]))
+
     def fit(
         self, sample_features, feature_names, sample_error, sample_bins=None
     ):
-        i_feature = feature_names.index(self.partition_feature_name)
-        sample_feature = sample_features[:, i_feature]
+        col = feature_names.index(self.partition_feature_name)
+        feature = sample_features[:, col]
 
         if sample_bins is None:
-            n = sample_feature.shape[0]
-            iq1 = int(n / 100)
-            iq3 = int(99 * n / 100)
-            q1 = np.partition(sample_feature, iq1)[iq1]
-            q3 = np.partition(sample_feature, iq3)[iq3]
-            bins = np.linspace(q1, q3, self.n_partitions - 1)
-            self.partition_bins = np.hstack([-np.inf, bins, np.inf])
+            self.partition_bins = self._default_bins(feature)
         else:
             self.n_partitions = sample_bins.shape[0] - 1
-            self.partition_bins = sample_bins
-
+            self.partition_bins = np.asarray(sample_bins)
         self.labels = range(self.n_partitions)
-        self.errs = {}
-        for nbin in range(self.n_partitions):
-            mask = (sample_feature >= self.partition_bins[nbin]) & (
-                sample_feature <= self.partition_bins[nbin + 1]
-            )
-            self.errs[nbin] = np.sort(sample_error[mask])
+
+        # one lexsort groups residuals by bin AND sorts within bin
+        tags = self.predict(sample_features, feature_names)
+        order = np.lexsort((sample_error, tags))
+        ranked = sample_error[order]
+        cuts = np.searchsorted(tags[order], np.arange(1, self.n_partitions))
+        self.errs = dict(enumerate(np.split(ranked, cuts)))
 
     def predict(self, features, feature_names):
-        i_feature = feature_names.index(self.partition_feature_name)
-        feature = features[:, i_feature]
-        # single searchsorted pass (the per-bin mask loop costs
+        col = feature_names.index(self.partition_feature_name)
+        feature = features[:, col]
+        # single searchsorted pass (a per-bin mask loop costs
         # n_partitions full passes over the pair array — noticeable at
         # tens of millions of candidate pairs)
-        labels = np.searchsorted(
+        tags = np.searchsorted(
             self.partition_bins[1:-1], feature, side="right"
         )
-        return np.clip(labels, 0, self.n_partitions - 1)
+        return np.clip(tags, 0, self.n_partitions - 1)
 
     def update_errors(self, errors, partitions):
-        for i in range(self.n_partitions):
-            mask = partitions == i
-            new = errors[mask]
-            new = new[np.abs(new) > 1e-6]
-            self.errs[i] = np.sort(np.hstack([self.errs[i], new]))
+        """Fold fresh residuals into the per-bin CDFs.  Near-zero
+        residuals (exactly-predicted pairs) carry no information and
+        are dropped; each batch is merged, not concatenate-and-sorted."""
+        keep = np.abs(errors) > 1e-6
+        errors, partitions = errors[keep], partitions[keep]
+        for b in np.unique(partitions):
+            batch = np.sort(errors[partitions == b])
+            have = self.errs.get(int(b), np.zeros(0))
+            at = np.searchsorted(have, batch)
+            self.errs[int(b)] = np.insert(have, at, batch)
