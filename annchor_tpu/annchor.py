@@ -147,7 +147,10 @@ class Annchor:
         self.lookahead = lookahead
         self.trace_dir = trace_dir
 
-        self.RefineApprox = None
+        self._features = None
+        self._RefineApprox = None
+        self._ncm = None
+        self._dev = None  # device-resident state (ops.device_pipeline)
         self.neighbor_graph = None
 
         if get_exact_ijs is None:
@@ -159,6 +162,80 @@ class Annchor:
 
         test_parallelisation(self.get_exact_ijs, self.f, self.X, self.nx, s=20)
         self.get_exact_query_ijs = None
+
+    # -- device-resident state & lazy host mirrors -------------------------
+    #
+    # With default strategy objects the fit keeps the per-pair state on
+    # device (ops.device_pipeline) and only kilobytes cross the host
+    # link per iteration; the full arrays are materialised on first
+    # host access (plug-ins, persistence, the instance-selection
+    # extras).  Custom strategy objects get the host pipeline, whose
+    # semantics these properties mirror exactly.
+
+    def _sync_from_device(self):
+        if self._dev is not None:
+            (
+                self._features,
+                self._RefineApprox,
+                self._ncm,
+            ) = self._dev.materialise()
+            self._dev = None
+
+    @property
+    def features(self):
+        self._sync_from_device()
+        return self._features
+
+    @features.setter
+    def features(self, value):
+        self._sync_from_device()
+        self._features = value
+
+    @property
+    def RefineApprox(self):
+        self._sync_from_device()
+        return self._RefineApprox
+
+    @RefineApprox.setter
+    def RefineApprox(self, value):
+        self._sync_from_device()
+        self._RefineApprox = value
+
+    @property
+    def not_computed_mask(self):
+        if self._dev is not None:
+            return self._dev.ncm_host
+        return self._ncm
+
+    @not_computed_mask.setter
+    def not_computed_mask(self, value):
+        self._sync_from_device()
+        self._ncm = value
+
+    def _device_pipeline_ok(self):
+        """The device fast path assumes the default strategy stack
+        (their numeric contracts are baked into the jitted programs);
+        any custom strategy object falls back to the host pipeline,
+        preserving the full plug-in surface."""
+        import os
+
+        from annchor_tpu.samplers import SimpleStratifiedSampler
+
+        if os.environ.get("ANNCHOR_TPU_DISABLE_DEVICE_PIPELINE"):
+            return False
+        dad = "double anchor distance"
+        return (
+            type(self.sampler) is SimpleStratifiedSampler
+            and self.sampler.partition_feature_name == dad
+            and type(self.regression) is SimpleStratifiedLinearRegression
+            and self.regression.partition_feature_name == dad
+            and list(self.regression.reg_feature_names)
+            == ["lower bound", "upper bound", dad]
+            and type(self.error_predictor)
+            is SimpleStratifiedErrorRegression
+            and self.error_predictor.partition_feature_name == dad
+            and self.nx <= 4096
+        )
 
     # -- helpers ----------------------------------------------------------
 
@@ -222,6 +299,17 @@ class Annchor:
         return feature_names, features, not_computed_mask
 
     def get_features(self):
+        if self._device_pipeline_ok():
+            from annchor_tpu.ops.device_pipeline import DeviceFitState
+
+            self.feature_names = [
+                "lower bound",
+                "upper bound",
+                "double anchor distance",
+                "is anchor",
+            ]
+            self._dev = DeviceFitState(self)
+            return
         (
             self.feature_names,
             self.features,
@@ -231,6 +319,19 @@ class Annchor:
     def get_sample(self):
         """Stratified sample of pairs + their exact distances
         (reference annchor.py:313-343)."""
+        if self._dev is not None:
+            # default-sampler semantics, drawn on device: quantile
+            # edges + stratified without-replacement pick without
+            # downloading any feature column
+            self.sample_ixs, self.sample_bins = self._dev.draw_sample(
+                self.sampler, self.n_samples, self.random_seed
+            )
+            self.n_samples = self.sample_ixs.shape[0]
+            self.sample_features = self._dev.sample_rows(self.sample_ixs)
+            self.sample_ijs = self.IJs[self.sample_ixs]
+            self.sample_y = self._eval_pairs(self.sample_ijs)
+            # ncm flips on device inside regress_update
+            return
         (
             self.sample_ixs,
             self.n_samples,
@@ -256,6 +357,11 @@ class Annchor:
             self.sample_y,
             sample_bins=self.sample_bins,
         )
+        if self._dev is not None:
+            self.sample_predict = self._dev.regress_update(
+                self.regression, self.sample_ixs, self.sample_y
+            )
+            return
         self.pred = self.regression.predict(self.features, self.feature_names)
         self.sample_predict = self.pred[self.sample_ixs]
 
@@ -291,6 +397,8 @@ class Annchor:
             self.sample_y - self.sample_predict,
             sample_bins=self.sample_bins,
         )
+        if self._dev is not None:
+            return  # per-pair bin labels are recomputed on device
         self.errors = self.error_predictor.predict(
             self.features, self.feature_names
         )
@@ -299,6 +407,22 @@ class Annchor:
         """Spend the refine budget on the pairs most likely to be true
         k-NN edges (reference annchor.py:395-473)."""
         nn = self.n_neighbors
+        if self._dev is not None:
+            n_refine = int(
+                (self.p_work * self.N - self.na - self.n_samples) * w
+            ) + 1
+            candidates = self._dev.select(
+                self.error_predictor,
+                max(n_refine, 0),
+                nn,
+                it == 0,
+                3 * nn // 2,
+            )
+            self.nextback = np.zeros(0, dtype=np.int64)
+            if candidates.shape[0]:
+                exact = self._eval_pairs(self.IJs[candidates])
+                self._dev.apply_exact(candidates, exact)
+            return
         thresh = np.asarray(
             pair_ops.kth_smallest_per_point(
                 self.RefineApprox, self.P_idx, nn
@@ -355,17 +479,43 @@ class Annchor:
         self.RefineApprox[mapback] = exact
         self.not_computed_mask[mapback] = False
 
+    def _contender_ids(self):
+        """Uncomputed pairs that could still enter a top-k list: their
+        lower bound is below the larger endpoint threshold.  Anything
+        else can never displace a current neighbour, so spending
+        tightening work on it is wasted."""
+        ncm_ids = np.flatnonzero(self.not_computed_mask)
+        lb = self.features[ncm_ids, 0]
+        cap = np.maximum(
+            self.thresh[self.IJs[ncm_ids, 0]],
+            self.thresh[self.IJs[ncm_ids, 1]],
+        )
+        return ncm_ids[lb < cap]
+
     def update_anchor_points(self, timeout=10, chunk_size=200000):
         """Bound tightening between iterations: every computed distance
-        acts as a pseudo-anchor for the still-pending lookahead pairs
-        (reference annchor.py:475-512 / utils.py:304-352).  Chunked
-        with the reference's wall-clock bailout so a pathological pair
-        count can never stall the fit (reference annchor.py:511)."""
-        if self.nextback.shape[0] == 0:
+        acts as a pseudo-anchor for still-pending pairs (reference
+        annchor.py:475-512 / utils.py:304-352).  The reference limits
+        this to the lookahead over-selection because its host two-
+        pointer kernel is expensive; the dense device kernel here is
+        cheap enough to also tighten every remaining *contender* pair
+        (lower bound under the endpoint threshold), which directly
+        improves the next iteration's clipped predictions and
+        thresholds.  Chunked with the reference's wall-clock bailout
+        (reference annchor.py:511)."""
+        if self._dev is not None:
+            self._dev.tighten()
+            return
+        contenders = self._contender_ids()
+        extra = contenders[
+            ~np.isin(contenders, self.nextback, assume_unique=True)
+        ]
+        todo = np.concatenate([self.nextback, extra])
+        if todo.shape[0] == 0:
             return
         start = time.time()
-        for s in range(0, self.nextback.shape[0], chunk_size):
-            nb = self.nextback[s : s + chunk_size]
+        for s in range(0, todo.shape[0], chunk_size):
+            nb = todo[s : s + chunk_size]
             lb_new, ub_new = tighten_bounds(
                 self.nx,
                 self.IJs,
@@ -380,16 +530,61 @@ class Annchor:
             if time.time() - start > timeout:
                 break
 
+    def finalise_bounds(self, timeout=10):
+        """Post-refinement tightening: after the last exact batch lands
+        there is one more chance to squeeze the never-computed pairs'
+        bounds (the reference stops tightening before the final
+        iteration, so late over-predictions keep their stale estimate).
+        Clips RefineApprox into the tightened interval so graph
+        assembly ranks pending pairs with the best available bound
+        information.  Metric spaces only — without the triangle
+        inequality the interval is not a bound."""
+        if not self.is_metric:
+            return
+        if self._dev is not None:
+            self._dev.finalise()
+            return
+        if not hasattr(self, "thresh"):
+            return
+        # fresh thresholds: the last refinement batch has landed since
+        # select_refine computed self.thresh
+        self.thresh = np.asarray(
+            pair_ops.kth_smallest_per_point(
+                self.RefineApprox, self.P_idx, self.n_neighbors
+            ),
+            dtype=np.float64,
+        )
+        contenders = self._contender_ids()
+        if contenders.shape[0] == 0:
+            return
+        lb_new, ub_new = tighten_bounds(
+            self.nx,
+            self.IJs,
+            self.RefineApprox,
+            self.not_computed_mask,
+            self.IJs[contenders],
+            self.features[contenders, 0],
+            self.features[contenders, 1],
+        )
+        self.features[contenders, 0] = lb_new
+        self.features[contenders, 1] = ub_new
+        self.RefineApprox[contenders] = np.clip(
+            self.RefineApprox[contenders], lb_new, ub_new
+        )
+
     def get_ann(self):
         """Assemble the k-NN graph, self-prepended
         (reference annchor.py:514-530)."""
-        ngi, ngd, _ = pair_ops.knn_from_pairs(
-            self.RefineApprox,
-            self.IJs,
-            self.P_idx,
-            self.not_computed_mask,
-            self.n_neighbors - 1,
-        )
+        if self._dev is not None:
+            ngi, ngd = self._dev.knn_graph(self.n_neighbors - 1)
+        else:
+            ngi, ngd, _ = pair_ops.knn_from_pairs(
+                self.RefineApprox,
+                self.IJs,
+                self.P_idx,
+                self.not_computed_mask,
+                self.n_neighbors - 1,
+            )
         self.neighbor_graph = (
             np.concatenate(
                 [np.arange(self.nx)[:, None], ngi], axis=1
@@ -475,6 +670,11 @@ class Annchor:
                 self.update_anchor_points()
                 if self.verbose:
                     timeit("update_anchor_points", origin, start)
+
+        start = time.time()
+        self.finalise_bounds()
+        if self.verbose:
+            timeit("finalise_bounds", origin, start)
 
         start = time.time()
         self.get_ann()

@@ -231,7 +231,7 @@ class _LevenshteinEngine:
     reference's per-pair C-extension calls (reference
     annchor/distances.py:16-20, utils.py:144-177)."""
 
-    def __init__(self, block_size: int = 8192, use_myers: bool = True):
+    def __init__(self, block_size: int = 32768, use_myers: bool = True):
         self.block_size = block_size
         self.use_myers = use_myers
         self._cache = {}

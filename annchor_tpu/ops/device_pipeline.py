@@ -1,0 +1,604 @@
+"""Device-resident fit pipeline.
+
+The orchestration of a fit stays a staged host loop (the control flow —
+sampler warnings, early exit, plug-ins — is inherently dynamic), but on
+a remote accelerator the cost model is dominated by *bytes moved*, not
+dispatches (measured here: ~0.03 s/dispatch, 25-55 MB/s transfers).
+This module keeps the entire per-pair state on device as float32
+
+    lb, ub, dad, RA : (m,) f32      IJ_i, IJ_j : (m,) i32
+    ncm             : (m,) bool     P_idx      : (nx, max_deg) i32
+
+and reduces the per-iteration tunnel traffic to kilobytes: sampled
+feature rows come down, regression coefficients and exact distances go
+up, and the refinement selection returns only the chosen pair ids.
+Full-size arrays cross the link exactly twice per fit (the dad column
+for the host sampler, and nothing else until a user asks for
+``ann.features`` — materialised lazily).
+
+Bound tightening becomes a *tropical (min-plus / max-abs-diff) matrix
+product* of the computed-distance matrix with itself — one dispatch,
+zero transfers — instead of the reference's per-pair host
+intersections (reference annchor/annchor.py:475-512, utils.py:304-352).
+
+Numeric semantics mirror the host pipeline stage for stage (same
+stratified sampler on the host, same closed-form regression, same
+empirical-CDF selection rule, reference annchor/annchor.py:395-473);
+equivalence is pinned by the accuracy-budget tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+F32_INF = np.float32(np.inf)
+
+# full-matrix tropical tighten is O(nx^2) memory; beyond this the
+# chunked per-pair kernel (ops.bounds_update) is the right tool
+MAX_FULL_MATRIX_NX = 4096
+
+
+# ---------------------------------------------------------------------------
+# jitted programs (pure functions of device arrays)
+
+
+@jax.jit
+def _features_init(D32, ij_i, ij_j):
+    """LB/UB/dad for every pair in one shot (device-resident output)."""
+    Di = jnp.take(D32, ij_i, axis=0)
+    Dj = jnp.take(D32, ij_j, axis=0)
+    lb = jnp.max(jnp.abs(Di - Dj), axis=1)
+    ub = jnp.min(Di + Dj, axis=1)
+    cA = jnp.argmin(D32, axis=1)
+    ci = jnp.take(cA, ij_i)
+    cj = jnp.take(cA, ij_j)
+    dad = (
+        jnp.take_along_axis(Di, cj[:, None], axis=1)[:, 0]
+        + jnp.take_along_axis(Dj, ci[:, None], axis=1)[:, 0]
+    ) * 0.5
+    return lb, ub, dad
+
+
+@functools.partial(jax.jit, static_argnames=("is_metric", "init"))
+def _regress_update(
+    lb, ub, dad, RA, ncm, inner_edges, coefs, icepts,
+    sample_ids, sample_y, is_metric: bool, init: bool,
+):
+    """Predict every pair from the fitted per-bin linear model, clip to
+    bounds (metric spaces), overwrite the fresh sample rows with their
+    exact values.  Returns (RA', ncm', unclipped sample predictions).
+
+    Bin convention matches the host regressor: (lo, hi] via
+    side='left' on the interior edges."""
+    labels = jnp.searchsorted(inner_edges, dad, side="left")
+    # per-bin coefficients via a K-way select chain: K full predictions
+    # beat per-element gathers on TPU (gathers don't vectorise)
+    K = coefs.shape[0]
+    pred = jnp.zeros_like(dad)
+    for b in range(K):
+        pred_b = (
+            lb * coefs[b, 0]
+            + ub * coefs[b, 1]
+            + dad * coefs[b, 2]
+            + icepts[b]
+        )
+        pred = jnp.where(labels == b, pred_b, pred)
+    sample_pred = jnp.take(pred, sample_ids)
+    if is_metric:
+        pred = jnp.clip(pred, lb, ub)
+    ncm2 = ncm.at[sample_ids].set(False)
+    if init:
+        RA2 = pred
+    else:
+        RA2 = jnp.where(ncm2, pred, RA)
+    RA2 = RA2.at[sample_ids].set(sample_y)
+    return RA2, ncm2, sample_pred
+
+
+@functools.partial(jax.jit, static_argnames=("quotas",))
+def _sample_draw(dad, ncm, key, ilo, ihi, quotas: tuple):
+    """Stratified without-replacement sample drawn on device.
+
+    Numerically mirrors the host SimpleStratifiedSampler: bin edges are
+    a linspace between the pool's ilo-th/ihi-th order statistics of the
+    stratification feature; each bin contributes quotas[b] uniform
+    draws.  One masked sort + one random-key argsort replace the host's
+    download of the full feature column.  Returns (ids (sum(quotas),),
+    got (K,)) where slots past a bin's availability are -1."""
+    n_bins = len(quotas)
+    pool_vals = jnp.where(ncm, dad, F32_INF)
+    svals = jnp.sort(pool_vals)
+    lo = svals[ilo]
+    hi = svals[ihi]
+    # linspace(lo, hi, n_bins-1) interior edges, +-inf implied outside
+    inner = lo + (hi - lo) * jnp.arange(n_bins - 1) / jnp.float32(
+        max(n_bins - 2, 1)
+    )
+    labels = jnp.searchsorted(inner, dad, side="right")
+
+    # group pool by bin with random order inside each bin: labels are
+    # < n_bins and the random key is < 1, so label + key sorts
+    # lexicographically
+    r = jax.random.uniform(key, dad.shape, dtype=jnp.float32)
+    sort_key = jnp.where(
+        ncm, labels.astype(jnp.float32) + r * 0.999, F32_INF
+    )
+    order = jnp.argsort(sort_key)
+
+    counts = jnp.zeros(n_bins, dtype=jnp.int32)
+    pool_labels = jnp.where(ncm, labels, n_bins)
+    counts = counts.at[pool_labels].add(1, mode="drop")
+    starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]]
+    )
+    # sentinel tail so an under-full final bin never wraps the slice
+    order = jnp.concatenate(
+        [order, jnp.full((max(quotas),), -1, order.dtype)]
+    )
+
+    picks, got = [], []
+    for b in range(n_bins):
+        q = quotas[b]
+        ids_b = jax.lax.dynamic_slice(order, (starts[b],), (q,))
+        take_b = jnp.minimum(counts[b], q)
+        valid = (jnp.arange(q) < take_b) & (ids_b >= 0)
+        picks.append(jnp.where(valid, ids_b, -1))
+        got.append(take_b)
+    return jnp.concatenate(picks), jnp.stack(got), lo, hi
+
+
+def _pair_id_full(nx: int):
+    """Analytic padded incidence matrix for the all-pairs candidate set
+    (loc_thresh=1 frequently keeps every pair at small nx): pair (a, b),
+    a < b, lives at id a*nx - a(a+1)/2 + (b - a - 1)."""
+    i = np.arange(nx, dtype=np.int64)[:, None]
+    s = np.arange(nx - 1, dtype=np.int64)[None, :]
+    partner = s + (s >= i)
+    a = np.minimum(i, partner)
+    b = np.maximum(i, partner)
+    ids = a * nx - a * (a + 1) // 2 + (b - a - 1)
+    return ids.astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("nx",))
+def _pidx_full_dev(nx: int):
+    """Device twin of _pair_id_full — saves the (nx, nx-1) upload.
+    int32 math holds to nx = 2^16 (pair ids < 2^31)."""
+    i = jnp.arange(nx, dtype=jnp.int32)[:, None]
+    s = jnp.arange(nx - 1, dtype=jnp.int32)[None, :]
+    partner = s + (s >= i)
+    a = jnp.minimum(i, partner)
+    b = jnp.maximum(i, partner)
+    return a * nx - a * (a + 1) // 2 + (b - a - 1)
+
+
+@jax.jit
+def _scatter_exact(RA, ncm, ids, vals):
+    """Land a batch of exact distances."""
+    return RA.at[ids].set(vals), ncm.at[ids].set(False)
+
+
+@jax.jit
+def _override_rows(RA, ids, vals):
+    """Non-metric anchor-row fixup (reference annchor.py:365-372)."""
+    return RA.at[ids].set(vals)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nn", "n_ref", "guarantee", "nmin")
+)
+def _select(
+    RA, ncm, ij_i, ij_j, dad, P_idx,
+    inner_edges, cdf_grid, cdf_lo, cdf_inv, cdf_hi,
+    nn: int, n_ref: int, guarantee: bool, nmin: int,
+):
+    """Device refinement selection (reference annchor.py:395-473).
+
+    Returns (chosen pair ids (n_ref,), per-point thresholds (nx,)).
+    Selection = top n_ref by empirical probability of beating the
+    endpoint threshold; computed pairs score -1 so they are never
+    chosen.  Ties break by pair id (top_k is index-stable).
+
+    The per-bin residual CDFs arrive pre-sampled on a fixed grid
+    (cdf_grid (K, G), domain [cdf_lo, cdf_hi] per bin): one gather from
+    a VMEM-sized table replaces a per-pair binary search into the raw
+    residual arrays, which is gather-bound and ~6x slower here."""
+    m = RA.shape[0]
+    RA_pad = jnp.concatenate([RA, jnp.array([F32_INF])])
+    vals = jnp.take(RA_pad, P_idx, axis=0)  # (nx, max_deg)
+    kk = min(nn, vals.shape[1] - 1)
+    neg_topk, _ = jax.lax.top_k(-vals, kk + 1)
+    thresh = -neg_topk[:, kk]
+
+    RAg = RA
+    if guarantee:
+        # force >= nmin computed-or-forced pairs per point
+        # (reference utils.py:606-621): mark each point's smallest
+        # uncomputed estimates so their margin becomes huge
+        ncm_pad = jnp.take(
+            jnp.concatenate([ncm, jnp.array([False])]), P_idx, axis=0
+        )
+        todo_vals = jnp.where(ncm_pad, vals, F32_INF)
+        n_computed = jnp.sum((~ncm_pad) & (P_idx < m), axis=1)
+        n_todo = jnp.clip(nmin - n_computed, 0, todo_vals.shape[1] - 1)
+        svals = jnp.sort(todo_vals, axis=1)
+        kth = jnp.take_along_axis(svals, n_todo[:, None], axis=1)
+        mark_rows = (todo_vals < kth) & ncm_pad & (n_todo[:, None] > 0)
+        marks = jnp.zeros(m + 1, dtype=bool)
+        marks = marks.at[P_idx.reshape(-1)].max(mark_rows.reshape(-1))
+        RAg = jnp.where(marks[:m], jnp.float32(-1.0), RA)
+
+    margin = (
+        jnp.maximum(jnp.take(thresh, ij_i), jnp.take(thresh, ij_j)) - RAg
+    )
+    K, G = cdf_grid.shape
+    labels = jnp.clip(
+        jnp.searchsorted(inner_edges, dad, side="right"), 0, K - 1
+    )
+    lo = jnp.take(cdf_lo, labels)
+    hi = jnp.take(cdf_hi, labels)
+    inv = jnp.take(cdf_inv, labels)
+    cell = jnp.clip(
+        ((margin - lo) * inv).astype(jnp.int32), 0, G - 1
+    )
+    prob = jnp.take(cdf_grid.reshape(-1), labels * G + cell)
+    prob = jnp.where(margin > hi, jnp.float32(1.0), prob)
+    prob = jnp.where(margin < lo, jnp.float32(0.0), prob)
+    prob = jnp.where(ncm, prob, jnp.float32(-1.0))
+    _, chosen = jax.lax.top_k(prob, n_ref)
+    return chosen, thresh
+
+
+@functools.partial(jax.jit, static_argnames=("nx", "block"))
+def _tighten_full(ij_i, ij_j, RA, ncm, lb, ub, nx: int, block: int = 16):
+    """Tropical self-product bound tightening, all on device.
+
+    Every computed exact distance is a pseudo-anchor: with E the
+    (nx, nx) computed-distance matrix,
+
+        LB'[i,j] = max_y |E[i,y] - E[j,y]|   (both entries present)
+        UB'[i,j] = min_y  E[i,y] + E[j,y]
+
+    computed as a blocked min-plus/max-abs-diff product (VPU; the MXU
+    cannot help in the tropical semiring).  All pending pairs get the
+    tightened interval — the reference could only afford its lookahead
+    subset (annchor/annchor.py:486-511)."""
+    d = jnp.where(ncm, jnp.float32(0), RA)
+    ok = ~ncm
+    E = jnp.zeros((nx, nx), dtype=jnp.float32)
+    E = E.at[ij_i, ij_j].set(d, mode="drop")
+    E = E.at[ij_j, ij_i].set(d, mode="drop")
+    V = jnp.zeros((nx, nx), dtype=bool)
+    V = V.at[ij_i, ij_j].set(ok, mode="drop")
+    V = V.at[ij_j, ij_i].set(ok, mode="drop")
+    Einf = jnp.where(V, E, F32_INF)
+    Ezero = jnp.where(V, E, jnp.float32(0))
+
+    nblk = (nx + block - 1) // block
+    padn = nblk * block
+    if padn != nx:
+        Ezero = jnp.pad(Ezero, ((0, 0), (0, padn - nx)))
+        V = jnp.pad(V, ((0, 0), (0, padn - nx)))
+        Einf = jnp.pad(
+            Einf, ((0, 0), (0, padn - nx)), constant_values=F32_INF
+        )
+
+    def body(t, acc):
+        lb_acc, ub_acc = acc
+        a = jax.lax.dynamic_slice(Ezero, (0, t * block), (nx, block))
+        v = jax.lax.dynamic_slice(V, (0, t * block), (nx, block))
+        i = jax.lax.dynamic_slice(Einf, (0, t * block), (nx, block))
+        diff = jnp.abs(a[:, None, :] - a[None, :, :])
+        both = v[:, None, :] & v[None, :, :]
+        lb_acc = jnp.maximum(
+            lb_acc, jnp.max(jnp.where(both, diff, 0.0), axis=2)
+        )
+        ub_acc = jnp.minimum(
+            ub_acc, jnp.min(i[:, None, :] + i[None, :, :], axis=2)
+        )
+        return lb_acc, ub_acc
+
+    lbM, ubM = jax.lax.fori_loop(
+        0,
+        nblk,
+        body,
+        (
+            jnp.zeros((nx, nx), dtype=jnp.float32),
+            jnp.full((nx, nx), F32_INF, dtype=jnp.float32),
+        ),
+    )
+    lb_pair = lbM[ij_i, ij_j]
+    ub_pair = ubM[ij_i, ij_j]
+    lb2 = jnp.where(ncm, jnp.maximum(lb, lb_pair), lb)
+    ub2 = jnp.where(ncm, jnp.minimum(ub, ub_pair), ub)
+    return lb2, ub2
+
+
+@jax.jit
+def _clip_ra(RA, ncm, lb, ub):
+    """Final re-clip of never-computed estimates into the tightened
+    interval (see Annchor.finalise_bounds)."""
+    return jnp.where(ncm, jnp.clip(RA, lb, ub), RA)
+
+
+@functools.partial(jax.jit, static_argnames=("nn",))
+def _knn(RA, ncm, P_idx, nn: int):
+    """Graph assembly selection (reference get_nn, utils.py:383-429):
+    uncomputed pairs carry a +rowmax penalty so computed pairs win.
+    Returns (chosen slot columns, their RA values)."""
+    m = RA.shape[0]
+    RA_pad = jnp.concatenate([RA, jnp.array([F32_INF])])
+    vals = jnp.take(RA_pad, P_idx, axis=0)
+    ncm_pad = jnp.take(
+        jnp.concatenate([ncm, jnp.array([True])]), P_idx, axis=0
+    )
+    valid = P_idx < m
+    mx = jnp.max(jnp.where(valid, vals, -F32_INF), axis=1, keepdims=True)
+    dpen = jnp.where(valid, vals + jnp.where(ncm_pad, mx, 0.0), F32_INF)
+    _, cols = jax.lax.top_k(-dpen, nn)
+    ra_sel = jnp.take_along_axis(vals, cols, axis=1)
+    return cols, ra_sel
+
+
+@jax.jit
+def _gather_rows(lb, ub, dad, ids):
+    return (
+        jnp.take(lb, ids),
+        jnp.take(ub, ids),
+        jnp.take(dad, ids),
+    )
+
+
+# ---------------------------------------------------------------------------
+# host-side driver object
+
+
+class DeviceFitState:
+    """Device-resident pair state plus the host bookkeeping needed to
+    keep the plug-in surface intact (ncm and exact float64 distances
+    live on both sides; full f32 arrays come down only on demand)."""
+
+    def __init__(self, ann):
+        self.ann = ann
+        nx = ann.nx
+        self.m = ann.IJs.shape[0]
+        self.ij_i = jnp.asarray(ann.IJs[:, 0].astype(np.int32))
+        self.ij_j = jnp.asarray(ann.IJs[:, 1].astype(np.int32))
+        if self.m == nx * (nx - 1) // 2:
+            # all-pairs candidate set: build the incidence matrix on
+            # device from its closed form instead of uploading it
+            self.P_idx_d = _pidx_full_dev(nx)
+        else:
+            self.P_idx_d = jnp.asarray(ann.P_idx)
+        D32 = jnp.asarray(np.asarray(ann.D, dtype=np.float32))
+        self.lb, self.ub, self.dad = _features_init(
+            D32, self.ij_i, self.ij_j
+        )
+
+        # host mirrors: anchor flag, dad column (sampler input),
+        # not-computed mask, exact float64 values
+        if len(ann.A):
+            anchor_set = np.zeros(nx, dtype=bool)
+            anchor_set[np.asarray(ann.A, dtype=int)] = True
+            self.anchor_flag = (
+                anchor_set[ann.IJs[:, 0]] | anchor_set[ann.IJs[:, 1]]
+            )
+        else:
+            self.anchor_flag = np.zeros(self.m, dtype=bool)
+        self.ncm_host = ~self.anchor_flag
+        self.ncm = jnp.asarray(self.ncm_host)
+        self.exact64 = np.full(self.m, np.nan)
+        self._fill_anchor_exacts()
+
+        self.RA = jnp.zeros(self.m, dtype=jnp.float32)
+        self.thresh = None
+        self._started = False
+
+        # non-metric fixup rows: anchor pairs must carry their exact
+        # column values once predictions stop being bound-clipped
+        self._override = None
+        if not ann.is_metric and len(ann.A):
+            ids = np.flatnonzero(self.anchor_flag)
+            self._override = (
+                jnp.asarray(ids.astype(np.int32)),
+                jnp.asarray(self.exact64[ids].astype(np.float32)),
+            )
+
+    def _fill_anchor_exacts(self):
+        """Anchor-pair rows are exact from the D columns."""
+        ann = self.ann
+        if not len(ann.A):
+            return
+        D = np.asarray(ann.D)
+        pair_sum = ann.IJs[:, 0].astype(np.int64) + ann.IJs[:, 1]
+        for col, a in enumerate(np.asarray(ann.A, dtype=int)):
+            ids = ann.P_idx[a][ann.P_idx[a] < self.m].astype(np.int64)
+            others = pair_sum[ids] - a
+            self.exact64[ids] = D[others, col]
+
+    # -- stage methods ------------------------------------------------------
+
+    def sample_rows(self, ids):
+        """Feature rows for the fitted strategies (small download)."""
+        lb, ub, dad = _gather_rows(
+            self.lb, self.ub, self.dad, jnp.asarray(ids.astype(np.int32))
+        )
+        feats = np.empty((len(ids), 4), dtype=np.float64)
+        feats[:, 0] = np.asarray(lb)
+        feats[:, 1] = np.asarray(ub)
+        feats[:, 2] = np.asarray(dad)
+        feats[:, 3] = self.anchor_flag[ids]
+        return feats
+
+    def draw_sample(self, sampler, n_samples, random_seed):
+        """Stratified sample drawn on device; only the chosen ids, the
+        per-bin tallies, and the two quantile scalars come down.
+        Mirrors SimpleStratifiedSampler.sample (same budget warnings,
+        same per-loop seed advance)."""
+        from annchor_tpu.samplers import NothingToSample, SamplingError
+
+        pool = int(self.ncm_host.sum())
+        if pool == 0:
+            raise NothingToSample()
+        ilo, ihi, adjusted = sampler.plan(pool, n_samples)
+        if adjusted != n_samples:
+            print(
+                "Warning: n_samples has changed from %d to %d."
+                % (n_samples, adjusted)
+            )
+        if adjusted == 0:
+            raise NothingToSample()
+        P = sampler.n_partitions
+        quotas = [adjusted // P] * P
+        for b in range(adjusted % P):
+            quotas[b] += 1
+
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(random_seed), sampler.loop_num
+        )
+        sampler.loop_num += 1
+        ids, got, lo, hi = _sample_draw(
+            self.dad, self.ncm, key,
+            jnp.int32(min(ilo, pool - 1)),
+            jnp.int32(min(ihi, pool - 1)),
+            tuple(quotas),
+        )
+        got = np.asarray(got)
+        if got.min(initial=2) < 2:
+            raise SamplingError("Some sampler bins contain too few samples")
+        ids = np.asarray(ids, dtype=np.int64)
+        ids = ids[ids >= 0]
+        if ids.shape[0] != adjusted:
+            print("Warning: Some bins contained fewer samples than requested")
+        inner = np.linspace(float(lo), float(hi), P - 1)
+        bins = np.concatenate(([-np.inf], inner, [np.inf]))
+        return ids, bins
+
+    def regress_update(self, regression, sample_ids, sample_y):
+        """Upload the fitted coefficients, predict+clip every pair on
+        device, land the sample exacts.  Returns the unclipped sample
+        predictions (for the residual model)."""
+        inner = jnp.asarray(
+            np.asarray(regression.sample_bins[1:-1], dtype=np.float32)
+        )
+        coefs = jnp.asarray(np.asarray(regression.coefs, np.float32))
+        icepts = jnp.asarray(np.asarray(regression.intercepts, np.float32))
+        sids = jnp.asarray(sample_ids.astype(np.int32))
+        sy = jnp.asarray(sample_y.astype(np.float32))
+        self.RA, self.ncm, sample_pred = _regress_update(
+            self.lb, self.ub, self.dad, self.RA, self.ncm,
+            inner, coefs, icepts, sids, sy,
+            self.ann.is_metric, not self._started,
+        )
+        self._started = True
+        if self._override is not None:
+            self.RA = _override_rows(self.RA, *self._override)
+        self.ncm_host[sample_ids] = False
+        self.exact64[sample_ids] = sample_y
+        return np.asarray(sample_pred, dtype=np.float64)
+
+    CDF_GRID = 4096
+
+    def _cdf_tables(self, error_predictor):
+        """Sample each bin's empirical residual CDF onto a fixed grid
+        (host; the raw per-bin arrays total a few thousand floats).
+        Quantisation error is below the CDF's own 1/len step."""
+        K = error_predictor.n_partitions
+        G = self.CDF_GRID
+        grid = np.zeros((K, G), dtype=np.float32)
+        lo = np.full(K, np.inf, dtype=np.float32)
+        hi = np.full(K, np.inf, dtype=np.float32)
+        inv = np.zeros(K, dtype=np.float32)
+        for b in range(K):
+            e = np.asarray(error_predictor.errs.get(b, np.zeros(0)))
+            if len(e) == 0:
+                continue  # lo=+inf => every margin reads prob 0
+            lo[b], hi[b] = e[0], e[-1]
+            span = float(hi[b] - lo[b])
+            if span > 0:
+                inv[b] = (G - 1) / span
+            xs = lo[b] + np.arange(G) / max(inv[b], 1e-30)
+            grid[b] = np.searchsorted(e, xs) / len(e)
+        return grid, lo, hi, inv
+
+    def select(self, error_predictor, n_ref, nn, guarantee, nmin):
+        """Device selection; downloads only the chosen ids."""
+        bins = error_predictor.partition_bins
+        inner = jnp.asarray(np.asarray(bins[1:-1], dtype=np.float32))
+        grid, lo, hi, inv = self._cdf_tables(error_predictor)
+
+        n_ref = int(min(n_ref, self.ncm_host.sum()))
+        if n_ref <= 0:
+            self.thresh = None
+            return np.zeros(0, dtype=np.int64)
+        chosen, thresh = _select(
+            self.RA, self.ncm, self.ij_i, self.ij_j, self.dad,
+            self.P_idx_d, inner,
+            jnp.asarray(grid), jnp.asarray(lo), jnp.asarray(inv),
+            jnp.asarray(hi),
+            int(nn), n_ref, bool(guarantee), int(nmin),
+        )
+        self.thresh = thresh  # device-resident; used by tighten
+        return np.asarray(chosen, dtype=np.int64)
+
+    def apply_exact(self, ids, vals):
+        idd = jnp.asarray(ids.astype(np.int32))
+        vd = jnp.asarray(np.asarray(vals, np.float32))
+        self.RA, self.ncm = _scatter_exact(self.RA, self.ncm, idd, vd)
+        self.ncm_host[ids] = False
+        self.exact64[ids] = vals
+
+    def tighten(self):
+        self.lb, self.ub = _tighten_full(
+            self.ij_i, self.ij_j, self.RA, self.ncm,
+            self.lb, self.ub, self.ann.nx,
+        )
+
+    def finalise(self):
+        self.tighten()
+        self.RA = _clip_ra(self.RA, self.ncm, self.lb, self.ub)
+
+    def knn_graph(self, nn):
+        """Final k-NN graph; exact distances come from the host float64
+        cache, predicted ones from the downloaded f32 estimates."""
+        ann = self.ann
+        cols, ra_sel = _knn(self.RA, self.ncm, self.P_idx_d, nn)
+        cols = np.asarray(cols)
+        ra_sel = np.asarray(ra_sel, dtype=np.float64)
+        P_np = ann.P_idx
+        pair_ids = np.take_along_axis(P_np, cols, axis=1).astype(np.int64)
+        pair_sum = np.concatenate(
+            [ann.IJs.sum(axis=1), [0]]
+        ).astype(np.int64)
+        ngi = pair_sum[pair_ids] - np.arange(ann.nx)[:, None]
+        ngi = np.where(pair_ids < self.m, ngi, -1)
+        exact = self.exact64[np.clip(pair_ids, 0, self.m - 1)]
+        ngd = np.where(
+            (pair_ids < self.m) & ~np.isnan(exact), exact, ra_sel
+        )
+        return ngi, ngd
+
+    # -- host materialisation (plug-in / persistence surface) ---------------
+
+    def materialise(self):
+        """Download the f32 state and hand back float64 host arrays
+        (exact values keep full precision from the host cache)."""
+        lb = np.asarray(self.lb, dtype=np.float64)
+        ub = np.asarray(self.ub, dtype=np.float64)
+        features = np.stack(
+            [
+                lb,
+                ub,
+                np.asarray(self.dad, dtype=np.float64),
+                self.anchor_flag.astype(np.float64),
+            ],
+            axis=1,
+        )
+        RA = np.asarray(self.RA, dtype=np.float64)
+        have = ~np.isnan(self.exact64)
+        RA[have] = self.exact64[have]
+        return features, RA, self.ncm_host.copy()

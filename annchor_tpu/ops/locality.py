@@ -118,6 +118,44 @@ def effective_thresholds(
     return np.minimum(np.float32(loc_thresh), eff)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("locality", "loc_min", "loc_thresh")
+)
+def _fused_locality(D32, locality: int, loc_min: int, loc_thresh: int):
+    """Whole locality stage in one program for single-block sizes:
+    membership top-k, histogram-trick adaptive thresholds, symmetrised
+    keep mask (bit-packed) and its population count.  One dispatch
+    instead of three — dispatch+sync round trips dominate at small nx."""
+    nx, na = D32.shape
+    _, sid = jax.lax.top_k(-D32, locality)
+    S = jnp.zeros((nx, na), dtype=jnp.float32)
+    rows = jnp.broadcast_to(jnp.arange(nx)[:, None], sid.shape)
+    S = S.at[rows, sid].set(1.0)
+
+    counts = jax.lax.dot_general(
+        S, S,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    kth = jnp.zeros(nx, dtype=jnp.float32)
+    for c in range(1, locality + 1):
+        kth = kth + (jnp.sum(counts >= c, axis=1) > loc_min)
+    eff = jnp.minimum(jnp.float32(loc_thresh), kth)
+
+    thr = jnp.minimum(eff[:, None], eff[None, :])
+    ids = jnp.arange(nx, dtype=jnp.int32)
+    keep = (counts >= thr) & (ids[None, :] > ids[:, None])
+    total = jnp.sum(keep)
+    padc = (-nx) % 32
+    if padc:
+        keep = jnp.pad(keep, ((0, 0), (0, padc)))
+    B, W = keep.shape[0], keep.shape[1] // 32
+    bits = keep.reshape(B, W, 32).astype(jnp.uint32)
+    weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+    packed = jnp.sum(bits * weights[None, None, :], axis=2, dtype=jnp.uint32)
+    return S, sid, eff, packed, total
+
+
 def candidate_pairs(
     D,
     locality: int,
@@ -131,8 +169,47 @@ def candidate_pairs(
     sid: (nx, locality) nearest-anchor ids (reference self.sid);
     S: binary membership matrix (transpose of reference Amatrix).
     """
+    import os
+    import time as _time
+
+    _dbg = os.environ.get("ANNCHOR_TPU_DEBUG_TIMING")
+    nx = np.asarray(D).shape[0]
+    if nx <= block:
+        _t0 = _time.perf_counter()
+        D32 = jnp.asarray(np.asarray(D), dtype=jnp.float32)
+        S, sid, eff, packed, total = _fused_locality(
+            D32, int(locality), int(loc_min), int(loc_thresh)
+        )
+        total = int(total)
+        if _dbg:
+            print(
+                "    [locality] fused+sync: %.3f s"
+                % (_time.perf_counter() - _t0)
+            )
+            _t0 = _time.perf_counter()
+        if total == nx * (nx - 1) // 2:
+            # every pair admitted: skip the unpack/nonzero round trip
+            iu = np.triu_indices(nx, k=1)
+            IJs = np.stack(iu, axis=1).astype(np.int32)
+            out = (
+                IJs,
+                np.asarray(sid),
+                np.asarray(S),
+                np.asarray(eff),
+            )
+            if _dbg:
+                print(
+                    "    [locality] allkept host: %.3f s"
+                    % (_time.perf_counter() - _t0)
+                )
+            return out
+        bytes_ = np.ascontiguousarray(np.asarray(packed)).view(np.uint8)
+        keep = np.unpackbits(bytes_, axis=1, bitorder="little")[:, :nx]
+        r, c = np.nonzero(keep)
+        IJs = np.stack([r, c], axis=1).astype(np.int32)
+        return IJs, np.asarray(sid), np.asarray(S), np.asarray(eff)
+
     S, sid = anchor_membership(D, locality)
-    nx = S.shape[0]
     eff = effective_thresholds(
         S, loc_thresh, loc_min, block=block, locality=locality
     )

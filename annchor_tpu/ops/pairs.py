@@ -33,18 +33,47 @@ def build_point_index(IJs: np.ndarray, nx: int):
     """
     IJs = np.asarray(IJs)
     m = IJs.shape[0]
-    endpoints = np.concatenate([IJs[:, 0], IJs[:, 1]])
-    pair_ids = np.concatenate([np.arange(m), np.arange(m)]).astype(np.int32)
-    order = np.argsort(endpoints, kind="stable")
-    endpoints = endpoints[order]
-    pair_ids = pair_ids[order]
-    counts = np.bincount(endpoints, minlength=nx).astype(np.int32)
+    if (
+        m == nx * (nx - 1) // 2
+        and m
+        and IJs[0, 0] == 0
+        and IJs[0, 1] == 1
+        and IJs[-1, 0] == nx - 2
+    ):
+        # complete candidate set in canonical row-major order: the
+        # incidence matrix has a closed form — no sort needed
+        from annchor_tpu.ops.device_pipeline import _pair_id_full
+
+        return (
+            _pair_id_full(nx),
+            np.full(nx, nx - 1, dtype=np.int32),
+        )
+    I = IJs[:, 0].astype(np.int32, copy=False)
+    J = IJs[:, 1].astype(np.int32, copy=False)
+    cnt_i = np.bincount(I, minlength=nx).astype(np.int32)
+    cnt_j = np.bincount(J, minlength=nx).astype(np.int32)
+    counts = cnt_i + cnt_j
     max_deg = int(counts.max()) if m else 1
-    offsets = np.zeros(nx + 1, dtype=np.int64)
-    np.cumsum(counts, out=offsets[1:])
-    cols = np.arange(2 * m, dtype=np.int64) - offsets[endpoints]
     P_idx = np.full((nx, max_deg), m, dtype=np.int32)
-    P_idx[endpoints, cols] = pair_ids
+    ids = np.arange(m, dtype=np.int32)
+
+    # slots [0, cnt_i[p]) hold p's pairs where p is the left endpoint,
+    # the rest its right-endpoint pairs.  Candidate lists arrive sorted
+    # by left endpoint (nonzero is row-major), so the left side needs
+    # no sort at all; the right side needs one int32 counting argsort.
+    start_i = np.zeros(nx, dtype=np.int64)
+    np.cumsum(cnt_i[:-1], out=start_i[1:])
+    if m and np.all(I[1:] >= I[:-1]):
+        P_idx[I, ids - start_i[I]] = ids
+    else:  # appended pair blocks (enemy graph) break the ordering
+        oi = np.argsort(I, kind="stable")
+        P_idx[I[oi], np.arange(m) - start_i[I[oi]]] = ids[oi]
+
+    oj = np.argsort(J, kind="stable")
+    start_j = np.zeros(nx, dtype=np.int64)
+    np.cumsum(cnt_j[:-1], out=start_j[1:])
+    Jo = J[oj]
+    P_idx[Jo, np.arange(m) - start_j[Jo] + cnt_i[Jo]] = ids[oj]
     return P_idx, counts
 
 

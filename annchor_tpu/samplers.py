@@ -158,8 +158,10 @@ class SimpleStratifiedSampler(Sampler):
     ):
         super().__init__(partition_feature_name, n_partitions)
 
-    def get_partition(self, sample_feature, n_samples):
-        pool = sample_feature.shape[0]
+    def plan(self, pool, n_samples):
+        """Quantile indices + budget adjustment for a pool of the given
+        size (shared with the device-resident draw, which computes the
+        order statistics on device)."""
         ilo, ihi = pool // 100, (99 * pool) // 100
         if ilo * self.n_partitions < n_samples:
             ilo, ihi = pool // 10, (9 * pool) // 10
@@ -169,6 +171,10 @@ class SimpleStratifiedSampler(Sampler):
                 "Warning: n_samples too large for data set size.\n"
                 + "Reducing n_samples to %d." % n_samples
             )
+        return ilo, ihi, n_samples
+
+    def get_partition(self, sample_feature, n_samples):
+        ilo, ihi, n_samples = self.plan(sample_feature.shape[0], n_samples)
         lo, hi = _spanning_order_stats(sample_feature, ilo, ihi)
         inner = np.linspace(lo, hi, self.n_partitions - 1)
         return _edges_from_inner(inner), n_samples

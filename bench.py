@@ -39,13 +39,13 @@ def main():
     gt = data["neighbor_graph"]
     k = 25
 
+    # exactly the reference README benchmark invocation
+    # (`Annchor(X, 'levenshtein', n_neighbors=25, p_work=0.12)`,
+    # /root/reference/README.md:102 — every other knob at its default)
     kwargs = dict(
         func="levenshtein",
-        n_anchors=23,
         n_neighbors=k,
-        n_samples=5000,
         p_work=0.12,
-        niters=4,
         random_seed=42,
     )
 
