@@ -224,8 +224,7 @@ def _myers_batch(planes, la, b_ids, lb):
 
     max_lb = jnp.max(lb)
 
-    def body(j, carry):
-        VP, VN, score, result = carry
+    def step(j, VP, VN, score, result):
         cj = jax.lax.dynamic_slice_in_dim(b_ids, j, 1, axis=1)  # (B,1)
         # Eq = AND_k planes[k][bit_k(cj)] — K selects, no gather
         Eq = None
@@ -253,8 +252,15 @@ def _myers_batch(planes, la, b_ids, lb):
         VN = X & D0
         return VP, VN, score, result
 
+    # two text characters per loop iteration: the per-step work here is
+    # small, so the sequential fori_loop's step overhead is what bounds
+    # the kernel — halving the trip count is ~1.5-2x wall time
+    def body(t, carry):
+        carry = step(t * 2, *carry)
+        return step(t * 2 + 1, *carry)
+
     _, _, _, result = jax.lax.fori_loop(
-        0, max_lb, body, (VP0, VN0, score0, result0)
+        0, (max_lb + 1) // 2, body, (VP0, VN0, score0, result0)
     )
     return result
 
@@ -289,9 +295,10 @@ def _myers_column(peq, la_all, t_ids, t_len):
     tap_word = (m1 >> 5)[:, None]
     tap_mask = (UINT1 << (m1 & 31).astype(jnp.uint32))
 
-    def body(j, carry):
-        VP, VN, score = carry
-        cj = jnp.clip(t_ids[j], 0, alphabet - 1)
+    def step(j, VP, VN, score):
+        live = j < t_len  # unrolled loop may overshoot by one char
+        cj = jnp.clip(t_ids[jnp.minimum(j, t_ids.shape[0] - 1)], 0,
+                      alphabet - 1)
         Eq = jax.lax.dynamic_slice_in_dim(peq, cj, 1, axis=1)[:, 0, :]
         Xv = Eq | VN
         D0 = (_add_with_carry(Eq & VP, VP) ^ VP) | Xv
@@ -302,15 +309,20 @@ def _myers_column(peq, la_all, t_ids, t_len):
         inc = ((hp_tap & tap_mask) != 0).astype(jnp.int32) - (
             (hn_tap & tap_mask) != 0
         ).astype(jnp.int32)
-        score = score + inc
+        score = score + jnp.where(live, inc, 0)
         X = _shift1(HP, UINT1)
         HNs = _shift1(HN, jnp.uint32(0))
-        VP = HNs | ~(D0 | X)
-        VN = X & D0
+        VP = jnp.where(live, HNs | ~(D0 | X), VP)
+        VN = jnp.where(live, X & D0, VN)
         return VP, VN, score
 
+    # two characters per trip: step overhead bounds this kernel
+    def body(t, carry):
+        carry = step(t * 2, *carry)
+        return step(t * 2 + 1, *carry)
+
     _, _, score = jax.lax.fori_loop(
-        0, t_len, body, (VP0, VN0, la)
+        0, (t_len + 1) // 2, body, (VP0, VN0, la)
     )
     # empty pattern: distance is the text length
     return jnp.where(la == 0, t_len, score)

@@ -103,9 +103,10 @@ def _kernel(planes_ref, text_ref, la_ref, lb_ref, maxlb_ref, out_ref):
         )
         return s + carry_in
 
-    def body(j, carry):
-        VP, VN, score, result = carry
-        cj = text_ref[j, :]  # (T,) int32
+    L = text_ref.shape[0]
+
+    def step(j, VP, VN, score, result):
+        cj = text_ref[jnp.minimum(j, L - 1), :]  # (T,) int32
         cju = cj.astype(jnp.uint32)
         Eq = None
         for k in range(K):
@@ -134,9 +135,16 @@ def _kernel(planes_ref, text_ref, la_ref, lb_ref, maxlb_ref, out_ref):
         VN = X & D0
         return VP, VN, score, result
 
+    # two text characters per trip: per-step vector work is small, so
+    # loop-step overhead bounds the kernel; score/result are masked by
+    # `active`, so the odd overshoot step is harmless
+    def body(t, carry):
+        carry = step(t * 2, *carry)
+        return step(t * 2 + 1, *carry)
+
     max_lb = maxlb_ref[0, 0]
     _, _, _, result = jax.lax.fori_loop(
-        0, max_lb, body, (VP0, VN0, score0, result0)
+        0, (max_lb + 1) // 2, body, (VP0, VN0, score0, result0)
     )
     out_ref[0, :] = result
 

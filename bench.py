@@ -60,12 +60,16 @@ def main():
     # BASELINE.md "First run excludes numba JIT compile time")
     _, warm_s = build()
 
-    # best of two timed runs: dispatch latency through a remote-TPU
-    # tunnel is noisy, and timeit-style minimums are the stable figure
-    ann, dt1 = build()
-    ann, dt2 = build()
-    dt = min(dt1, dt2)
-    errors = at.compare_neighbor_graphs(ann.neighbor_graph, gt, k)
+    # best of three timed runs: dispatch/transfer latency through a
+    # remote-TPU tunnel is noisy (observed 3-9 s spread on identical
+    # work), and timeit-style minimums are the stable figure
+    runs = [build() for _ in range(3)]
+    dt = min(r[1] for r in runs)
+    errors = max(
+        at.compare_neighbor_graphs(r[0].neighbor_graph, gt, k)
+        for r in runs
+    )
+    ann = runs[-1][0]
 
     result = {
         "metric": "strings1600_build_s",
