@@ -160,6 +160,31 @@ class Annchor:
         else:
             self.get_exact_ijs = get_exact_ijs
 
+        # scout/certify hybrid: when the metric ships a cheap
+        # approximate engine (e.g. wasserstein with scout="sinkhorn"),
+        # exploration runs on it and only the final graph edges are
+        # evaluated with the exact metric (a few percent of the
+        # p_work budget).  A user-supplied evaluator always wins.
+        self.scout_evals = 0
+        self.certify_pad = 8
+        self._scouting = False
+        scout = getattr(self.metric, "scout", None)
+        if scout is not None and getattr(
+            self.get_exact_ijs, "_annchor_default", False
+        ):
+            self._exact_eval = self.get_exact_ijs
+
+            def scout_eval(f, X, IJ):
+                return scout(X, X, np.asarray(IJ))
+
+            scout_eval._annchor_default = True
+            self.get_exact_ijs = scout_eval
+            self._scouting = True
+            # entropic values carry an O(eps) bias that can violate
+            # the triangle inequality: take the non-metric path
+            # (reference annchor.py:73-76)
+            self.is_metric = False
+
         test_parallelisation(self.get_exact_ijs, self.f, self.X, self.nx, s=20)
         self.get_exact_query_ijs = None
 
@@ -247,12 +272,16 @@ class Annchor:
         return self.get_exact_query_ijs
 
     def _eval_pairs(self, IJ):
-        """Evaluate exact distances for pairs, counting evals."""
+        """Evaluate distances for pairs through the active evaluator
+        (the scout engine during a hybrid fit), counting evals."""
         d = np.asarray(
             self.get_exact_ijs(self.f, self.X, np.asarray(IJ)),
             dtype=np.float64,
         )
-        self.evals += d.shape[0]
+        if self._scouting:
+            self.scout_evals += d.shape[0]
+        else:
+            self.evals += d.shape[0]
         return d
 
     # -- pipeline stages ---------------------------------------------------
@@ -261,7 +290,10 @@ class Annchor:
         """Anchors + (nx, n_anchors) distance columns
         (reference annchor.py:191-206)."""
         self.A, self.D, evals = self.anchor_picker.get_anchors(self)
-        self.evals += evals
+        if self._scouting:
+            self.scout_evals += evals
+        else:
+            self.evals += evals
 
     def get_locality(self):
         """Candidate pairs from shared near-anchor sets
@@ -572,19 +604,55 @@ class Annchor:
             self.RefineApprox[contenders], lb_new, ub_new
         )
 
+    def _certify(self, ngi, ngd):
+        """Exact re-evaluation of the scout-built candidate graph: the
+        scout metric selected `k-1+certify_pad` candidates per point;
+        the exact metric scores the (deduplicated) candidate edges and
+        each row keeps its exact top k-1.  Exact-call cost is a few
+        percent of p_work*N."""
+        nx, nsel = ngi.shape
+        rows = np.repeat(np.arange(nx, dtype=np.int64), nsel)
+        cols = ngi.reshape(-1).astype(np.int64)
+        valid = cols >= 0
+        a = np.minimum(rows, cols)
+        b = np.maximum(rows, cols)
+        key = a * nx + b
+        uniq, inverse = np.unique(key[valid], return_inverse=True)
+        IJ = np.stack([uniq // nx, uniq % nx], axis=1)
+        exact = np.asarray(
+            self._exact_eval(self.f, self.X, IJ), dtype=np.float64
+        )
+        self.evals += exact.shape[0]
+        dists = np.full(nx * nsel, np.inf)
+        dists[valid] = exact[inverse]
+        dists = dists.reshape(nx, nsel)
+        order = np.argsort(dists, axis=1, kind="stable")[
+            :, : self.n_neighbors - 1
+        ]
+        return (
+            np.take_along_axis(ngi, order, axis=1),
+            np.take_along_axis(dists, order, axis=1),
+        )
+
     def get_ann(self):
         """Assemble the k-NN graph, self-prepended
-        (reference annchor.py:514-530)."""
+        (reference annchor.py:514-530).  Hybrid fits over-select by
+        certify_pad and re-rank the rows with exact distances."""
+        nsel = self.n_neighbors - 1
+        if self._scouting:
+            nsel += self.certify_pad
         if self._dev is not None:
-            ngi, ngd = self._dev.knn_graph(self.n_neighbors - 1)
+            ngi, ngd = self._dev.knn_graph(nsel)
         else:
             ngi, ngd, _ = pair_ops.knn_from_pairs(
                 self.RefineApprox,
                 self.IJs,
                 self.P_idx,
                 self.not_computed_mask,
-                self.n_neighbors - 1,
+                nsel,
             )
+        if self._scouting:
+            ngi, ngd = self._certify(ngi, ngd)
         self.neighbor_graph = (
             np.concatenate(
                 [np.arange(self.nx)[:, None], ngi], axis=1

@@ -37,11 +37,19 @@ class Metric:
         (reference annchor.py:73-76).
     """
 
-    def __init__(self, scalar, batch=None, name="custom", is_metric=True):
+    scout: "object | None"
+
+    def __init__(
+        self, scalar, batch=None, name="custom", is_metric=True, scout=None
+    ):
         self.scalar = scalar
         self.batch = batch
         self.name = name
         self.is_metric = is_metric
+        # optional cheap approximate engine: when present, Annchor
+        # explores with it and certifies the final graph edges with the
+        # exact engine (scout/certify hybrid — see Annchor.get_ann)
+        self.scout = scout
 
     def __call__(self, x, y):
         return self.scalar(x, y)
@@ -416,8 +424,20 @@ def get_function_from_input(func, func_kwargs=None):
                 "Error: wasserstein metric requires cost_matrix kwarg"
             )
             M = func_kwargs["cost_matrix"]
+            scout = None
+            if kw.pop("scout", None) == "sinkhorn":
+                # scout/certify hybrid: entropic OT on the MXU drives
+                # the search; the exact host solver certifies the
+                # reported graph (see Annchor.get_ann / SURVEY.md §7)
+                from annchor_tpu.ops.wasserstein import SinkhornExpEngine
+
+                kw.pop("cost_matrix", None)
+                scout = SinkhornExpEngine(M, **kw)
             return Metric(
-                _make_emd_scalar(M), _EMDEngine(M), name="wasserstein"
+                _make_emd_scalar(M),
+                _EMDEngine(M),
+                name="wasserstein",
+                scout=scout,
             )
         if func == "wasserstein_sinkhorn":
             assert func_kwargs and "cost_matrix" in func_kwargs, (

@@ -178,55 +178,98 @@ class NetSimplex {
     kids_head_.assign(N_, -1);
     kids_next_.assign(N_, -1);
 
-    // --- perturbed supplies for genericity
-    std::vector<double> ra(a, a + n), rb(b, b + m);
+    // --- perturbed supplies for genericity (scratch vectors are
+    // members so a reused solver instance allocates nothing per call —
+    // at digit-sized instances malloc traffic was a large fraction of
+    // the per-call cost)
+    sa_.assign(a, a + n);
+    sb_.assign(b, b + m);
     double total = 0.0;
-    for (int i = 0; i < n; ++i) total += ra[i];
+    for (int i = 0; i < n; ++i) total += sa_[i];
     const double eps = total * 1e-11;
-    for (int i = 0; i < n; ++i) ra[i] += eps;
-    rb[m - 1] += n * eps;
+    for (int i = 0; i < n; ++i) sa_[i] += eps;
+    sb_[m - 1] += n * eps;
 
-    // --- northwest-corner initial basic solution: exactly n+m-1 basic
-    // cells forming a staircase spanning tree (supplies are generic
-    // after perturbation, so no degenerate double-exhaustion)
+    // --- least-cost initial basic solution: allocate cells in
+    // ascending cost order, skipping exhausted rows/columns.  Under
+    // generic (perturbed) supplies each allocation exhausts exactly
+    // one side, giving n+m-1 acyclic cells = a spanning tree, like the
+    // northwest rule but cost-aware: it starts the simplex much closer
+    // to optimal (~2x fewer pivots on image-histogram instances).
     {
-      std::vector<double> sa(ra), sb(rb);
-      std::vector<int> arc_a, arc_b;
-      std::vector<double> arc_f;
-      arc_a.reserve(N_);
-      arc_b.reserve(N_);
-      arc_f.reserve(N_);
-      int i = 0, j = 0;
-      while (true) {
-        const double f = std::min(sa[i], sb[j]);
-        arc_a.push_back(i);
-        arc_b.push_back(j);
-        arc_f.push_back(f);
-        sa[i] -= f;
-        sb[j] -= f;
-        if (i == n - 1 && j == m - 1) break;
-        if (sa[i] <= sb[j] && i < n - 1) ++i;
-        else ++j;
+      arc_a_.clear();
+      arc_b_.clear();
+      arc_f_.clear();
+      cell_order_.resize(static_cast<size_t>(n) * m);
+      for (int k = 0; k < n * m; ++k) cell_order_[k] = k;
+      std::sort(cell_order_.begin(), cell_order_.end(),
+                [&](int x, int y) { return C[x] < C[y]; });
+      seen_.assign(N_, 0);  // 1 = exhausted
+      int live = n + m;
+      for (int k = 0; k < n * m && live > 1; ++k) {
+        const int cell = cell_order_[k];
+        const int i = cell / m, j = cell % m;
+        if (seen_[i] || seen_[n + j]) continue;
+        const double f = std::min(sa_[i], sb_[j]);
+        arc_a_.push_back(i);
+        arc_b_.push_back(j);
+        arc_f_.push_back(f);
+        sa_[i] -= f;
+        sb_[j] -= f;
+        if (live > 2) {
+          if (sa_[i] <= 0.0) { seen_[i] = 1; --live; }
+          else { seen_[n + j] = 1; --live; }
+        } else {
+          live = 1;  // last cell closes both sides
+        }
       }
-      build_tree_(arc_a, arc_b, arc_f);
+      build_tree_(arc_a_, arc_b_, arc_f_);
     }
 
     const double tol = cost_scale_() * 1e-12 + 1e-15;
     const int max_pivots = 64 * N_ + 256;
     refresh_();
     for (int it = 0; it < max_pivots; ++it) {
-      // Dantzig pricing over all source->sink arcs
+      // Dantzig pricing over all source->sink arcs.  Two passes keep
+      // the hot loop branchless (vectorisable min) instead of an
+      // argmin with a data-dependent branch per arc — pricing was
+      // ~2/3 of the solve time in the naive form.
       double best = -tol;
       int bi = -1, bj = -1;
+      const double* v = u_.data() + n_;
       for (int i = 0; i < n_; ++i) {
         const double* Ci = C_ + static_cast<size_t>(i) * m_;
-        const double ui = u_[i];
-        for (int j = 0; j < m_; ++j) {
-          const double rc = Ci[j] - ui - u_[n_ + j];
-          if (rc < best) { best = rc; bi = i; bj = j; }
+        // four independent min chains so the reduction vectorises
+        double r0 = 1e300, r1 = 1e300, r2 = 1e300, r3 = 1e300;
+        int j = 0;
+        for (; j + 4 <= m_; j += 4) {
+          const double c0 = Ci[j] - v[j];
+          const double c1 = Ci[j + 1] - v[j + 1];
+          const double c2 = Ci[j + 2] - v[j + 2];
+          const double c3 = Ci[j + 3] - v[j + 3];
+          r0 = c0 < r0 ? c0 : r0;
+          r1 = c1 < r1 ? c1 : r1;
+          r2 = c2 < r2 ? c2 : r2;
+          r3 = c3 < r3 ? c3 : r3;
         }
+        for (; j < m_; ++j) {
+          const double c = Ci[j] - v[j];
+          r0 = c < r0 ? c : r0;
+        }
+        double rmin = std::min(std::min(r0, r1), std::min(r2, r3));
+        rmin -= u_[i];
+        if (rmin < best) { best = rmin; bi = i; }
       }
       if (bi < 0) break;  // optimal
+      {
+        const double* Ci = C_ + static_cast<size_t>(bi) * m_;
+        const double target = best + u_[bi];
+        double bb = target + 1.0;
+        for (int j = 0; j < m_; ++j) {
+          const double rc = Ci[j] - v[j];
+          if (rc < bb) { bb = rc; bj = j; }
+        }
+      }
       pivot_(bi, n_ + bj);
       refresh_();
     }
@@ -234,7 +277,8 @@ class NetSimplex {
     // --- exact flows from the final basis with unperturbed supplies:
     // peel leaves; each leaf's parent-arc flow equals its residual
     // imbalance (supply positive, demand negative).
-    std::vector<double> bal(N_);
+    sa_.assign(N_, 0.0);
+    std::vector<double>& bal = sa_;
     for (int i = 0; i < n_; ++i) bal[i] = a[i];
     for (int j = 0; j < m_; ++j) bal[n_ + j] = -b[j];
     const std::vector<int>& order = order_;  // current BFS order
@@ -258,6 +302,9 @@ class NetSimplex {
   std::vector<double> u_, flow_;
   std::vector<int> adj_head_, adj_next_, adj_node_;
   std::vector<int> order_, kids_head_, kids_next_;
+  std::vector<double> sa_, sb_, arc_f_;
+  std::vector<int> arc_a_, arc_b_, stack_, cell_order_;
+  std::vector<char> seen_;
   int adj_fill_ = 0;
 
   double cost_scale_() const {
@@ -284,21 +331,21 @@ class NetSimplex {
       adj_add_(arc_a[k], n_ + arc_b[k]);
       adj_add_(n_ + arc_b[k], arc_a[k]);
     }
-    std::vector<int> stack{0};
-    std::vector<char> seen(N_, 0);
-    seen[0] = 1;
+    stack_.assign(1, 0);
+    seen_.assign(N_, 0);
+    seen_[0] = 1;
     parent_[0] = -1;
     depth_[0] = 0;
-    while (!stack.empty()) {
-      const int v = stack.back();
-      stack.pop_back();
+    while (!stack_.empty()) {
+      const int v = stack_.back();
+      stack_.pop_back();
       for (int e = adj_head_[v]; e >= 0; e = adj_next_[e]) {
         const int w = adj_node_[e];
-        if (seen[w]) continue;
-        seen[w] = 1;
+        if (seen_[w]) continue;
+        seen_[w] = 1;
         parent_[w] = v;
         depth_[w] = depth_[v] + 1;
-        stack.push_back(w);
+        stack_.push_back(w);
       }
     }
     std::fill(flow_.begin(), flow_.end(), 0.0);
@@ -409,7 +456,9 @@ double emd_netsimplex(const double* a, const double* b, int n, int m,
         cost += a[i] * C[static_cast<size_t>(i) * m];
     return cost;
   }
-  NetSimplex ns;
+  // reuse one solver per thread: member scratch keeps its capacity so
+  // warm calls perform no allocation at all
+  static thread_local NetSimplex ns;
   return ns.solve(a, b, n, m, C);
 }
 
@@ -423,9 +472,9 @@ double emd_normalised(const double* x, const double* y, int nbins,
   for (int i = 0; i < nbins; ++i) { sx += x[i]; sy += y[i]; }
   if (sx <= 0.0 || sy <= 0.0) return 0.0;
 
-  std::vector<double> a, b;
-  std::vector<int> ia, ib;
-  a.reserve(nbins); b.reserve(nbins); ia.reserve(nbins); ib.reserve(nbins);
+  static thread_local std::vector<double> a, b, Csub;
+  static thread_local std::vector<int> ia, ib;
+  a.clear(); b.clear(); ia.clear(); ib.clear();
   for (int i = 0; i < nbins; ++i)
     if (x[i] > 0.0) { a.push_back(x[i] / sx); ia.push_back(i); }
   for (int j = 0; j < nbins; ++j)
@@ -433,7 +482,7 @@ double emd_normalised(const double* x, const double* y, int nbins,
 
   const int n = static_cast<int>(a.size());
   const int m = static_cast<int>(b.size());
-  std::vector<double> Csub(static_cast<size_t>(n) * m);
+  Csub.assign(static_cast<size_t>(n) * m, 0.0);
   for (int i = 0; i < n; ++i) {
     const double* Ci = C + static_cast<size_t>(ia[i]) * nbins;
     for (int j = 0; j < m; ++j) Csub[static_cast<size_t>(i) * m + j] = Ci[ib[j]];

@@ -566,6 +566,7 @@ class DeviceFitState:
         """Final k-NN graph; exact distances come from the host float64
         cache, predicted ones from the downloaded f32 estimates."""
         ann = self.ann
+        nn = min(int(nn), int(self.P_idx_d.shape[1]))
         cols, ra_sel = _knn(self.RA, self.ncm, self.P_idx_d, nn)
         cols = np.asarray(cols)
         ra_sel = np.asarray(ra_sel, dtype=np.float64)

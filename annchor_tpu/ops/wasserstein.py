@@ -59,6 +59,92 @@ def _sinkhorn_batch(A, B, C, eps, n_iter: int):
     return jnp.sum(P * C[None, :, :], axis=(1, 2))
 
 
+TINY = np.float32(1e-35)
+
+
+@functools.partial(jax.jit, static_argnames=("n_iter",))
+def _sinkhorn_exp_chunk(Xn, Zn, I, J, Kmat, KC, n_iter: int):
+    """Exp-domain Sinkhorn for one id chunk, histograms gathered on
+    device.  No transcendentals inside the loop — each iteration is two
+    (B, n) @ (n, n) matvec batches, which is pure MXU work (the
+    log-domain variant pays ~n^2 exp() per pair per iteration on the
+    VPU and is ~1000x slower here)."""
+    A = jnp.take(Xn, I, axis=0)
+    B = jnp.take(Zn, J, axis=0)
+
+    def body(_, v):
+        u = A / jnp.maximum(v @ Kmat.T, TINY)
+        return B / jnp.maximum(u @ Kmat, TINY)
+
+    v = jax.lax.fori_loop(0, n_iter, body, jnp.ones_like(B))
+    u = A / jnp.maximum(v @ Kmat.T, TINY)
+    # <P, C> = sum_ij u_i K_ij C_ij v_j
+    return jnp.sum(u * (v @ KC.T), axis=1)
+
+
+class SinkhornExpEngine:
+    """Fast entropic-OT scout: batched exp-domain Sinkhorn with the
+    dataset resident on device.
+
+    Intended as the exploration metric of the scout/certify hybrid
+    (see Annchor's `scout` handling): values carry an O(eps) bias and
+    small violations of the triangle inequality, which the pipeline's
+    is_metric=False path and the final exact certification absorb.
+    eps is relative to max(cost_matrix); it must stay large enough
+    that exp(-C/eps) is representable in float32 (C/eps < ~80).
+    """
+
+    def __init__(self, cost_matrix, eps: float = 0.015, n_iter: int = 300,
+                 chunk: int = 8192):
+        self.C = np.ascontiguousarray(cost_matrix, dtype=np.float32)
+        self.eps = float(eps) * float(self.C.max())
+        if self.C.max() / self.eps > 80:
+            raise ValueError(
+                "eps too small for the exp-domain kernel: need "
+                "max(cost)/eps < 80, got %.1f" % (self.C.max() / self.eps)
+            )
+        self.n_iter = int(n_iter)
+        self.chunk = int(chunk)
+        K = np.exp(-self.C / self.eps)
+        self._Kd = jnp.asarray(K)
+        self._KCd = jnp.asarray(K * self.C)
+        self._tables = {}
+
+    def _table(self, X):
+        key = id(X)
+        if key not in self._tables:
+            Xn = np.asarray(X, dtype=np.float32)
+            s = Xn.sum(axis=1, keepdims=True)
+            Xn = Xn / np.where(s > 0, s, 1.0)
+            self._tables = {key: jnp.asarray(Xn)}  # one dataset at a time
+        return self._tables[key]
+
+    def __call__(self, X, Z, IJ):
+        IJ = np.asarray(IJ, dtype=np.int64)
+        if IJ.shape[0] == 0:
+            return np.zeros(0, dtype=np.float64)
+        Xd = self._table(X)
+        Zd = Xd if Z is X else self._table(Z)
+        m = IJ.shape[0]
+        out = np.zeros(m, dtype=np.float64)
+        for s in range(0, m, self.chunk):
+            blk = IJ[s : s + self.chunk]
+            pad = 0
+            if blk.shape[0] < self.chunk and m > self.chunk:
+                pad = self.chunk - blk.shape[0]
+                blk = np.concatenate([blk, blk[-1:].repeat(pad, 0)])
+            d = np.asarray(
+                _sinkhorn_exp_chunk(
+                    Xd, Zd,
+                    jnp.asarray(blk[:, 0].astype(np.int32)),
+                    jnp.asarray(blk[:, 1].astype(np.int32)),
+                    self._Kd, self._KCd, self.n_iter,
+                )
+            )
+            out[s : s + self.chunk - pad] = d[: d.shape[0] - pad]
+        return out
+
+
 class SinkhornEngine:
     """Batched-pairs engine matching the Metric.batch contract."""
 

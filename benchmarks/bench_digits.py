@@ -1,0 +1,96 @@
+"""Digits-1797 / exact-Wasserstein k-NN graph benchmark.
+
+Reference numbers (BASELINE.md, reference doc/user_guide.rst:208-209):
+ANNchor with the exact kantorovich metric builds the k=25 graph at
+p_work=0.16 in 21.311 s with 8 incorrect pairs (CI budget: error < 10,
+reference tests/test_annchor.py:35-68).
+
+The TPU-native configuration here is the scout/certify hybrid: an
+exp-domain Sinkhorn engine on the MXU drives anchor selection and
+refinement, and the exact native network-simplex solver certifies the
+final (deduplicated) candidate edges — a few percent of the brute-force
+exact-call budget.  Errors are counted against the exact ground-truth
+graph, so the entropic approximation cannot hide mistakes.
+
+Prints one JSON line.  Run `--exact` for the pure exact-metric
+configuration (reference parity, slower).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/annchor_tpu_xla_cache")
+
+import numpy as np  # noqa: E402
+
+BASELINE_S = 21.311  # reference doc/user_guide.rst:208
+BASELINE_ERRORS = 8
+ERROR_BUDGET = 10  # reference CI, tests/test_annchor.py:65-68
+
+
+def main(exact: bool = False):
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import annchor_tpu as at
+    from annchor_tpu.datasets import load_digits
+
+    data = load_digits()
+    X = data["X"]
+    gt = data["neighbor_graph"]
+    M = data["cost_matrix"]
+    k = 25
+
+    func_kwargs = {"cost_matrix": M}
+    if not exact:
+        func_kwargs["scout"] = "sinkhorn"
+
+    kwargs = dict(
+        func="wasserstein",
+        func_kwargs=func_kwargs,
+        n_anchors=25,
+        n_neighbors=k,
+        n_samples=5000,
+        p_work=0.16,
+        random_seed=42,
+    )
+
+    def build():
+        ann = at.Annchor(X, **kwargs)
+        t0 = time.perf_counter()
+        ann.fit()
+        return ann, time.perf_counter() - t0
+
+    _, warm_s = build()  # compile warm-up (numba JIT analogue)
+    runs = [build() for _ in range(2)]
+    dt = min(r[1] for r in runs)
+    errors = max(
+        at.compare_neighbor_graphs(r[0].neighbor_graph, gt, k)
+        for r in runs
+    )
+    ann = runs[-1][0]
+
+    result = {
+        "metric": "digits1797_wasserstein_build_s",
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": round(dt / BASELINE_S, 4),
+        "errors": int(errors),
+        "error_budget": ERROR_BUDGET,
+        "baseline_errors": BASELINE_ERRORS,
+        "baseline_s": BASELINE_S,
+        "warmup_s": round(warm_s, 3),
+        "exact_evals": int(ann.evals),
+        "scout_evals": int(ann.scout_evals),
+        "mode": "exact" if exact else "sinkhorn_scout+exact_certify",
+        "p_work": kwargs["p_work"],
+        "n": len(X),
+    }
+    print(json.dumps(result))
+    return 0 if errors < ERROR_BUDGET else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(exact="--exact" in sys.argv[1:]))
