@@ -65,8 +65,11 @@ class Annchor:
         (reference annchor.py:73-76).
     get_exact_ijs: optional user pairwise evaluator
         get_exact_ijs(f, X, IJ) -> np.array([f(X[i], X[j]) ...]).
-    backend: accepted for API compatibility ("loky"/"multiprocessing"
-        select joblib pools in the reference; batching is native here).
+    backend: worker pool for *arbitrary Python* metrics (built-in
+        metrics use batched engines and ignore it, with a warning):
+        None/"threading" -> shared thread pool,
+        "loky"/"multiprocessing" -> spawned process pool (the metric
+        must be picklable; unpicklable closures fall back to serial).
     """
 
     def __init__(
@@ -153,9 +156,16 @@ class Annchor:
         self._dev = None  # device-resident state (ops.device_pipeline)
         self.neighbor_graph = None
 
+        self.backend = backend
+        if backend is not None and self.metric.batch is not None:
+            print(
+                "Warning: backend=%r is ignored for metric %r — it has "
+                "a batched engine (backend selects the worker pool for "
+                "arbitrary Python metrics only)." % (backend, self.metric.name)
+            )
         if get_exact_ijs is None:
             self.get_exact_ijs = make_get_exact_ijs(
-                self.metric, verbose=self.verbose
+                self.metric, verbose=self.verbose, backend=backend
             )
         else:
             self.get_exact_ijs = get_exact_ijs
@@ -267,7 +277,9 @@ class Annchor:
     def _get_exact_query_ijs_for(self, f):
         if self.get_exact_query_ijs is None:
             self.get_exact_query_ijs = make_get_exact_query_ijs(
-                self.metric, verbose=self.verbose
+                self.metric,
+                verbose=self.verbose,
+                backend=getattr(self, "backend", None),
             )
         return self.get_exact_query_ijs
 
@@ -849,7 +861,7 @@ class BruteForce:
         self.verbose = verbose
         if get_exact_ijs is None:
             self.get_exact_ijs = make_get_exact_ijs(
-                self.metric, verbose=verbose
+                self.metric, verbose=verbose, backend=backend
             )
         else:
             self.get_exact_ijs = get_exact_ijs

@@ -469,19 +469,84 @@ def get_function_from_input(func, func_kwargs=None):
 # pairwise evaluation dispatch
 
 
-def make_get_exact_ijs(metric: Metric, verbose: bool = False):
+_EXECUTORS = {}
+
+
+def _executor(backend: str):
+    """Shared worker pool per backend (the reference keeps joblib's
+    loky pool alive across calls for the same reason,
+    reference utils.py:152-177)."""
+    import concurrent.futures as cf
+    import multiprocessing as mp
+    import os
+
+    if backend not in _EXECUTORS:
+        n = os.cpu_count() or 1
+        if backend in ("loky", "multiprocessing"):
+            # spawn: never fork a process holding accelerator state
+            _EXECUTORS[backend] = cf.ProcessPoolExecutor(
+                max_workers=n, mp_context=mp.get_context("spawn")
+            )
+        else:
+            _EXECUTORS[backend] = cf.ThreadPoolExecutor(max_workers=n)
+    return _EXECUTORS[backend]
+
+
+def _chunk_eval(args):
+    f, xs, zs = args
+    return [f(x, z) for x, z in zip(xs, zs)]
+
+
+def _fanout_scalar(f, X, Z, IJ, backend):
+    """Arbitrary-Python-metric fallback: chunked fan-out over a worker
+    pool (reference utils.py:152-177 fans the same workloads over
+    joblib processes).  Threads by default — metric closures are rarely
+    picklable and NumPy/SciPy metrics release the GIL; process pools on
+    request via backend='loky'/'multiprocessing'."""
+    import os
+
+    m = IJ.shape[0]
+    ncpu = os.cpu_count() or 1
+    if m < 256 or (ncpu == 1 and backend is None):
+        return np.array(
+            [f(X[i], Z[j]) for i, j in IJ], dtype=np.float64
+        )
+    pool = _executor(backend or "threading")
+    nchunk = max(64, m // (4 * ncpu))
+    jobs = []
+    for s in range(0, m, nchunk):
+        blk = IJ[s : s + nchunk]
+        xs = [X[i] for i in blk[:, 0]]
+        zs = [Z[j] for j in blk[:, 1]]
+        jobs.append(pool.submit(_chunk_eval, (f, xs, zs)))
+    try:
+        out = [v for job in jobs for v in job.result(timeout=60)]
+    except Exception:
+        # unpicklable closure under a process backend, worker death,
+        # etc: finish the work serially rather than failing the fit
+        for job in jobs:
+            job.cancel()
+        return np.array(
+            [f(X[i], Z[j]) for i, j in IJ], dtype=np.float64
+        )
+    return np.array(out, dtype=np.float64)
+
+
+def make_get_exact_ijs(metric: Metric, verbose: bool = False, backend=None):
     """Default in-sample pairwise evaluator for a Metric.
 
     Returns get_exact_ijs(f, X, IJ) -> float64 (m,), preserving the
     reference plug-in contract.  The `f` argument is accepted for
-    compatibility; the batched engine (if any) takes precedence.
+    compatibility; the batched engine (if any) takes precedence, and
+    arbitrary Python metrics fan out over a worker pool (see
+    _fanout_scalar; reference doc/parallelisation.rst:14-52).
     """
 
     def get_exact(f, X, IJ):
         IJ = np.asarray(IJ)
         if metric.batch is not None:
             return metric.batch(X, X, IJ)
-        return np.array([f(X[i], X[j]) for i, j in IJ], dtype=np.float64)
+        return _fanout_scalar(f, X, X, IJ, backend)
 
     # pickers may take fused device shortcuts only when the user has
     # not overridden the evaluator (the get_exact_ijs plug-in contract,
@@ -490,7 +555,9 @@ def make_get_exact_ijs(metric: Metric, verbose: bool = False):
     return get_exact
 
 
-def make_get_exact_query_ijs(metric: Metric, verbose: bool = False):
+def make_get_exact_query_ijs(
+    metric: Metric, verbose: bool = False, backend=None
+):
     """Query-side evaluator: pairs (X[i], Z[j])
     (reference utils.py:180-245)."""
 
@@ -498,7 +565,7 @@ def make_get_exact_query_ijs(metric: Metric, verbose: bool = False):
         IJ = np.asarray(IJ)
         if metric.batch is not None:
             return metric.batch(X, Z, IJ)
-        return np.array([f(X[i], Z[j]) for i, j in IJ], dtype=np.float64)
+        return _fanout_scalar(f, X, Z, IJ, backend)
 
     return get_exact
 

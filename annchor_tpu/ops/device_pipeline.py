@@ -439,7 +439,7 @@ class DeviceFitState:
         per-bin tallies, and the two quantile scalars come down.
         Mirrors SimpleStratifiedSampler.sample (same budget warnings,
         same per-loop seed advance)."""
-        from annchor_tpu.samplers import NothingToSample, SamplingError
+        from annchor_tpu.samplers import NothingToSample
 
         pool = int(self.ncm_host.sum())
         if pool == 0:
@@ -469,7 +469,19 @@ class DeviceFitState:
         )
         got = np.asarray(got)
         if got.min(initial=2) < 2:
-            raise SamplingError("Some sampler bins contain too few samples")
+            # degenerate stratification: degrade to a uniform draw
+            # (same policy as the host sampler) — a 1-bin call through
+            # the same kernel is exactly that
+            print(
+                "Warning: stratification bins degenerate; "
+                "sampling uniformly."
+            )
+            ids, got, lo, hi = _sample_draw(
+                self.dad, self.ncm, key,
+                jnp.int32(min(ilo, pool - 1)),
+                jnp.int32(min(ihi, pool - 1)),
+                (adjusted,),
+            )
         ids = np.asarray(ids, dtype=np.int64)
         ids = ids[ids >= 0]
         if ids.shape[0] != adjusted:

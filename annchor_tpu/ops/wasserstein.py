@@ -116,7 +116,9 @@ class SinkhornExpEngine:
             Xn = np.asarray(X, dtype=np.float32)
             s = Xn.sum(axis=1, keepdims=True)
             Xn = Xn / np.where(s > 0, s, 1.0)
-            self._tables = {key: jnp.asarray(Xn)}  # one dataset at a time
+            if len(self._tables) >= 2:  # dataset + query set at most
+                self._tables.clear()
+            self._tables[key] = jnp.asarray(Xn)
         return self._tables[key]
 
     def __call__(self, X, Z, IJ):

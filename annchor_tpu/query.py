@@ -221,22 +221,58 @@ def query_(ann, Q, nn=15, p_work=0.3, get_exact_query_ijs=None):
         ann.get_exact_query_ijs = get_exact_query_ijs
     geq = ann._get_exact_query_ijs_for(ann.f)
 
-    QD = get_query_anchor_dists(ann, Q, geq)
+    # scout/certify hybrid (see Annchor.get_ann): exploration through
+    # the cheap engine, exact certification of the reported rows
+    scouting = getattr(ann, "_scouting", False) and get_exact_query_ijs is None
+    if scouting:
+        scout_eng = ann.metric.scout
+
+        def eval_geq(f, Xa, Z, IJ):
+            return scout_eng(Xa, Z, np.asarray(IJ))
+
+    else:
+        eval_geq = geq
+
+    # anchor columns use the same engine as the fit: the fitted D and
+    # regression carry the scout's bias, and consistent features beat
+    # absolutely-accurate-but-inconsistent ones (measured: exact query
+    # anchors against a scout-fitted index LOWER recall)
+    QD = get_query_anchor_dists(ann, Q, eval_geq)
     check = query_candidates(ann.S, QD, ann.locality, ann.loc_thresh)
     IJs, P_idx, P_cnt, Qfeatures, Qncm = get_query_features(
         ann, Q, QD, check
     )
 
     Qpred = ann.regression.predict(Qfeatures, ann.feature_names)
-    ilb = ann.feature_names.index("lower bound")
-    iub = ann.feature_names.index("upper bound")
-    Qpred = np.clip(Qpred, Qfeatures[:, ilb], Qfeatures[:, iub])
+    if ann.is_metric:
+        ilb = ann.feature_names.index("lower bound")
+        iub = ann.feature_names.index("upper bound")
+        Qpred = np.clip(Qpred, Qfeatures[:, ilb], Qfeatures[:, iub])
     Qerrors = ann.error_predictor.predict(Qfeatures, ann.feature_names)
     QRA = Qpred.copy()
 
     QRA, Qncm = select_refine_candidate_query_pairs(
-        ann, IJs, Q, P_idx, P_cnt, QRA, Qncm, Qerrors, p_work, nn, geq
+        ann, IJs, Q, P_idx, P_cnt, QRA, Qncm, Qerrors, p_work, nn, eval_geq
     )
 
-    ngi, ngd, _ = pair_ops.knn_from_pairs(QRA, IJs, P_idx, Qncm, nn)
+    # reference quirk: the query graph carries nn+1 columns
+    # (reference query_functions.py:210 calls get_nn with nn+1)
+    nout = nn + 1
+    nsel = nout + (ann.certify_pad if scouting else 0)
+    ngi, ngd, _ = pair_ops.knn_from_pairs(QRA, IJs, P_idx, Qncm, nsel)
+    if scouting:
+        nq = len(Q)
+        rows = np.repeat(np.arange(nq, dtype=np.int64), nsel)
+        dbs = ngi.reshape(-1)
+        valid = dbs >= 0
+        IJq = np.stack([dbs[valid], rows[valid]], axis=1)
+        exact = np.asarray(geq(ann.f, ann.X, Q, IJq), dtype=np.float64)
+        dists = np.full(nq * nsel, np.inf)
+        dists[valid] = exact
+        dists = dists.reshape(nq, nsel)
+        order = np.argsort(dists, axis=1, kind="stable")[:, :nout]
+        ngi = np.take_along_axis(ngi, order, axis=1)
+        ngd = np.take_along_axis(dists, order, axis=1)
+    else:
+        ngi, ngd = ngi[:, :nout], ngd[:, :nout]
     return ngi, ngd

@@ -140,9 +140,22 @@ class Sampler(ABC):
         if adjusted == 0:
             raise NothingToSample()
 
-        sample_ixs = self.sample_partition(
-            pool_ids, adjusted, pool_feature, sample_bins, random_seed
-        )
+        try:
+            sample_ixs = self.sample_partition(
+                pool_ids, adjusted, pool_feature, sample_bins, random_seed
+            )
+        except SamplingError:
+            # degenerate stratification (e.g. coinciding quantile edges
+            # on discrete distances): training pairs matter more than
+            # strict stratification, so degrade to a uniform draw
+            # instead of aborting the fit
+            print(
+                "Warning: stratification bins degenerate; "
+                "sampling uniformly."
+            )
+            rng = np.random.default_rng(random_seed + self.loop_num - 1)
+            take = min(adjusted, pool_ids.shape[0])
+            sample_ixs = rng.choice(pool_ids, size=take, replace=False)
         if adjusted != sample_ixs.shape[0]:
             print("Warning: Some bins contained fewer samples than requested")
         return sample_ixs, sample_ixs.shape[0], sample_bins

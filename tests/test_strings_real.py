@@ -1,0 +1,37 @@
+"""Full-scale real-string-set accuracy contract (reference
+tests/test_annchor.py:71-102: error < 15 on the bundled 1600-string set).
+
+This is the reference CI's headline accuracy assertion.  It needs the
+reference data mount and a few minutes of CPU, so it is gated behind
+ANNCHOR_TPU_SLOW_TESTS=1; the TPU driver asserts the same contract on
+every bench run (bench.py reports the error count, observed 0), and the
+fast suite guards the pipeline with the synthetic budget in
+test_annchor.py.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import annchor_tpu as at
+from annchor_tpu.datasets import _refdata_dir, load_strings
+
+
+@pytest.mark.skipif(
+    not os.environ.get("ANNCHOR_TPU_SLOW_TESTS"),
+    reason="slow full-scale test; set ANNCHOR_TPU_SLOW_TESTS=1",
+)
+@pytest.mark.skipif(
+    _refdata_dir() is None, reason="reference data mount not available"
+)
+def test_real_strings_reference_budget():
+    data = load_strings()
+    X, gt = data["X"], data["neighbor_graph"]
+    ann = at.Annchor(
+        X, "levenshtein", n_neighbors=25, p_work=0.12, random_seed=42
+    )
+    ann.fit()
+    err = at.compare_neighbor_graphs(ann.neighbor_graph, gt, 25)
+    assert err < 15  # reference budget; typically 0 here
+    assert ann.evals <= 1.4 * ann.p_work * ann.N + 2 * ann.n_samples
