@@ -260,6 +260,11 @@ def test_early_exit_when_nothing_to_sample(capsys):
     )
     ann.fit()  # budget covers everything fast -> later iters exhaust
     assert ann.neighbor_graph is not None
+    # the early-exit warning must actually fire (reference
+    # annchor.py:580-584 prints it when sampling is exhausted mid-loop)
+    out = capsys.readouterr().out
+    assert "terminated early with nothing left to sample" in out
+    assert not ann.not_computed_mask.any()
 
 
 def test_to_sparse_matrix(blobs):
