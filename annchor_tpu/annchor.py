@@ -153,6 +153,7 @@ class Annchor:
         self._features = None
         self._RefineApprox = None
         self._ncm = None
+        self._P_idx = None
         self._dev = None  # device-resident state (ops.device_pipeline)
         self.neighbor_graph = None
 
@@ -269,7 +270,6 @@ class Annchor:
             and type(self.error_predictor)
             is SimpleStratifiedErrorRegression
             and self.error_predictor.partition_feature_name == dad
-            and self.nx <= 4096
         )
 
     # -- helpers ----------------------------------------------------------
@@ -307,14 +307,36 @@ class Annchor:
         else:
             self.evals += evals
 
+    @property
+    def P_idx(self):
+        """Padded point-incidence matrix (lazy: large device-pipeline
+        fits never need the host copy, and at 10^8 pairs it is
+        hundreds of MB + a comparison sort)."""
+        if self._P_idx is None:
+            self._P_idx, _ = pair_ops.build_point_index(self.IJs, self.nx)
+        return self._P_idx
+
+    @P_idx.setter
+    def P_idx(self, value):
+        self._P_idx = value
+
     def get_locality(self):
         """Candidate pairs from shared near-anchor sets
         (reference annchor.py:208-256). Builds IJs and the padded
-        point-incidence index."""
+        point-incidence index (lazily for large device-pipeline fits)."""
         self.IJs, self.sid, self.S, self.loc_eff = candidate_pairs(
             self.D, self.locality, self.loc_thresh, self.loc_min
         )
-        self.P_idx, self.P_cnt = pair_ops.build_point_index(self.IJs, self.nx)
+        if self.nx > 4096 and self._device_pipeline_ok():
+            self._P_idx = None  # device pipeline builds its own
+            self.P_cnt = (
+                np.bincount(self.IJs[:, 0], minlength=self.nx)
+                + np.bincount(self.IJs[:, 1], minlength=self.nx)
+            ).astype(np.int32)
+        else:
+            self.P_idx, self.P_cnt = pair_ops.build_point_index(
+                self.IJs, self.nx
+            )
         if (self.P_cnt < self.n_neighbors).any():
             raise Exception(
                 "Error: Not enough candidates in pool for all indices.\n"

@@ -176,6 +176,105 @@ def _pidx_full_dev(nx: int):
     return a * nx - a * (a + 1) // 2 + (b - a - 1)
 
 
+@functools.partial(jax.jit, static_argnames=("nx", "max_deg"))
+def _pidx_from_pairs(ij_i, ij_j, nx: int, max_deg: int):
+    """Padded incidence matrix built on device: one argsort-based
+    counting sort over the endpoint list (uploading a prebuilt host
+    matrix costs hundreds of MB through the tunnel at scale)."""
+    m = ij_i.shape[0]
+    endpoints = jnp.concatenate([ij_i, ij_j])
+    pair_ids = jnp.tile(jnp.arange(m, dtype=jnp.int32), 2)
+    order = jnp.argsort(endpoints, stable=True)
+    se = jnp.take(endpoints, order)
+    counts = jnp.zeros(nx, dtype=jnp.int32).at[endpoints].add(1, mode="drop")
+    starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]]
+    )
+    cols = jnp.arange(2 * m, dtype=jnp.int32) - jnp.take(starts, se)
+    P = jnp.full((nx, max_deg), m, dtype=jnp.int32)
+    return P.at[se, cols].set(jnp.take(pair_ids, order), mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("ncol", "cmax", "chunk"))
+def _tighten_cols(
+    ij_i, ij_j, RA, ncm, lb, ub, thresh,
+    ncol: int, cmax: int, chunk: int = 262144,
+):
+    """Column-subsampled bound tightening for large nx, one dispatch.
+
+    The full tropical self-product needs an (nx, nx) matrix; beyond
+    MAX_FULL_MATRIX_NX the pseudo-anchors are restricted to the `ncol`
+    highest-computed-degree points (any column subset yields valid
+    bounds), and the per-pair update runs over at most `cmax`
+    *contender* pairs (uncomputed, lower bound under the endpoint
+    threshold cap) in in-program chunks."""
+    nx = thresh.shape[0]
+    m = RA.shape[0]
+
+    # pseudo-anchor columns: top computed-degree points
+    w = (~ncm).astype(jnp.int32)
+    deg = jnp.zeros(nx, dtype=jnp.int32)
+    deg = deg.at[ij_i].add(w, mode="drop")
+    deg = deg.at[ij_j].add(w, mode="drop")
+    _, cols_ids = jax.lax.top_k(deg, ncol)
+    col_of = jnp.full(nx, -1, dtype=jnp.int32).at[cols_ids].set(
+        jnp.arange(ncol, dtype=jnp.int32)
+    )
+
+    # E (nx, ncol): computed distances into the column subset
+    # entries that must not land (uncomputed pair, or endpoint not a
+    # column) are routed to index ncol, which mode="drop" discards
+    # (writing masked values instead would clobber real entries)
+    okv = ~ncm
+    ci = jnp.take(col_of, ij_i)
+    cj = jnp.take(col_of, ij_j)
+    ci = jnp.where(okv & (ci >= 0), ci, ncol)
+    cj = jnp.where(okv & (cj >= 0), cj, ncol)
+    E = jnp.zeros((nx, ncol), dtype=jnp.float32)
+    V = jnp.zeros((nx, ncol), dtype=bool)
+    E = E.at[ij_j, ci].set(RA, mode="drop")
+    E = E.at[ij_i, cj].set(RA, mode="drop")
+    V = V.at[ij_j, ci].set(True, mode="drop")
+    V = V.at[ij_i, cj].set(True, mode="drop")
+    Einf = jnp.where(V, E, F32_INF)
+    Ezero = jnp.where(V, E, jnp.float32(0))
+
+    # contender pair ids (padded with m = sentinel)
+    cap = jnp.maximum(jnp.take(thresh, ij_i), jnp.take(thresh, ij_j))
+    cont = ncm & (lb < cap)
+    ids = jnp.nonzero(cont, size=cmax, fill_value=m)[0].astype(jnp.int32)
+
+    ij_i_pad = jnp.concatenate([ij_i, jnp.zeros(1, ij_i.dtype)])
+    ij_j_pad = jnp.concatenate([ij_j, jnp.zeros(1, ij_j.dtype)])
+    lb_pad = jnp.concatenate([lb, jnp.zeros(1, lb.dtype)])
+    ub_pad = jnp.concatenate([ub, jnp.full(1, F32_INF, ub.dtype)])
+
+    nchunks = (cmax + chunk - 1) // chunk
+    ids = jnp.pad(ids, (0, nchunks * chunk - cmax), constant_values=m)
+
+    def body(t, state):
+        lb_acc, ub_acc = state
+        sel = jax.lax.dynamic_slice(ids, (t * chunk,), (chunk,))
+        gi = jnp.take(ij_i_pad, sel)
+        gj = jnp.take(ij_j_pad, sel)
+        Ei = jnp.take(Ezero, gi, axis=0)
+        Ej = jnp.take(Ezero, gj, axis=0)
+        both = jnp.take(V, gi, axis=0) & jnp.take(V, gj, axis=0)
+        lb_new = jnp.max(
+            jnp.where(both, jnp.abs(Ei - Ej), 0.0), axis=1
+        )
+        ub_new = jnp.min(
+            jnp.take(Einf, gi, axis=0) + jnp.take(Einf, gj, axis=0),
+            axis=1,
+        )
+        lb_acc = lb_acc.at[sel].max(lb_new, mode="drop")
+        ub_acc = ub_acc.at[sel].min(ub_new, mode="drop")
+        return lb_acc, ub_acc
+
+    lb2, ub2 = jax.lax.fori_loop(0, nchunks, body, (lb_pad, ub_pad))
+    return lb2[:m], ub2[:m]
+
+
 @jax.jit
 def _scatter_exact(RA, ncm, ids, vals):
     """Land a batch of exact distances."""
@@ -326,11 +425,14 @@ def _clip_ra(RA, ncm, lb, ub):
 
 
 @functools.partial(jax.jit, static_argnames=("nn",))
-def _knn(RA, ncm, P_idx, nn: int):
+def _knn(RA, ncm, P_idx, ij_i, ij_j, nn: int):
     """Graph assembly selection (reference get_nn, utils.py:383-429):
     uncomputed pairs carry a +rowmax penalty so computed pairs win.
-    Returns (chosen slot columns, their RA values)."""
+    Returns (pair ids (nx, nn), neighbour indices, RA values) — the
+    pair-to-neighbour mapping happens on device so the host never
+    needs the incidence matrix."""
     m = RA.shape[0]
+    nx = P_idx.shape[0]
     RA_pad = jnp.concatenate([RA, jnp.array([F32_INF])])
     vals = jnp.take(RA_pad, P_idx, axis=0)
     ncm_pad = jnp.take(
@@ -341,7 +443,15 @@ def _knn(RA, ncm, P_idx, nn: int):
     dpen = jnp.where(valid, vals + jnp.where(ncm_pad, mx, 0.0), F32_INF)
     _, cols = jax.lax.top_k(-dpen, nn)
     ra_sel = jnp.take_along_axis(vals, cols, axis=1)
-    return cols, ra_sel
+    pair_ids = jnp.take_along_axis(P_idx, cols, axis=1)
+    pair_sum = jnp.concatenate(
+        [(ij_i + ij_j).astype(jnp.int32), jnp.zeros(1, jnp.int32)]
+    )
+    partners = jnp.take(pair_sum, pair_ids) - jnp.arange(
+        nx, dtype=jnp.int32
+    )[:, None]
+    partners = jnp.where(pair_ids < m, partners, -1)
+    return pair_ids, partners, ra_sel
 
 
 @jax.jit
@@ -372,8 +482,15 @@ class DeviceFitState:
             # all-pairs candidate set: build the incidence matrix on
             # device from its closed form instead of uploading it
             self.P_idx_d = _pidx_full_dev(nx)
-        else:
+        elif getattr(ann, "_P_idx", None) is not None:
             self.P_idx_d = jnp.asarray(ann.P_idx)
+        else:
+            # large fits skip the host incidence matrix entirely:
+            # build it on device by counting sort over the pair list
+            max_deg = int(np.asarray(ann.P_cnt).max())
+            self.P_idx_d = _pidx_from_pairs(
+                self.ij_i, self.ij_j, nx, max_deg
+            )
         D32 = jnp.asarray(np.asarray(ann.D, dtype=np.float32))
         self.lb, self.ub, self.dad = _features_init(
             D32, self.ij_i, self.ij_j
@@ -409,16 +526,21 @@ class DeviceFitState:
             )
 
     def _fill_anchor_exacts(self):
-        """Anchor-pair rows are exact from the D columns."""
+        """Anchor-pair rows are exact from the D columns (vectorised
+        over the anchor-flag mask; no incidence matrix needed)."""
         ann = self.ann
         if not len(ann.A):
             return
-        D = np.asarray(ann.D)
-        pair_sum = ann.IJs[:, 0].astype(np.int64) + ann.IJs[:, 1]
-        for col, a in enumerate(np.asarray(ann.A, dtype=int)):
-            ids = ann.P_idx[a][ann.P_idx[a] < self.m].astype(np.int64)
-            others = pair_sum[ids] - a
-            self.exact64[ids] = D[others, col]
+        A = np.asarray(ann.A, dtype=int)
+        col_of = np.full(ann.nx, -1, dtype=np.int64)
+        col_of[A] = np.arange(len(A))
+        ids = np.flatnonzero(self.anchor_flag)
+        ii = ann.IJs[ids, 0].astype(np.int64)
+        jj = ann.IJs[ids, 1].astype(np.int64)
+        i_is_anchor = col_of[ii] >= 0
+        other = np.where(i_is_anchor, jj, ii)
+        col = np.where(i_is_anchor, col_of[ii], col_of[jj])
+        self.exact64[ids] = np.asarray(ann.D)[other, col]
 
     # -- stage methods ------------------------------------------------------
 
@@ -564,10 +686,24 @@ class DeviceFitState:
         self.ncm_host[ids] = False
         self.exact64[ids] = vals
 
+    TIGHTEN_NCOL = 2048  # pseudo-anchor columns at scale
+    TIGHTEN_CMAX = 1 << 23  # contender pairs per tighten at scale
+
     def tighten(self):
-        self.lb, self.ub = _tighten_full(
+        nx = self.ann.nx
+        if nx <= MAX_FULL_MATRIX_NX:
+            self.lb, self.ub = _tighten_full(
+                self.ij_i, self.ij_j, self.RA, self.ncm,
+                self.lb, self.ub, nx,
+            )
+            return
+        if self.thresh is None:
+            return  # contender filter needs thresholds (post-select)
+        self.lb, self.ub = _tighten_cols(
             self.ij_i, self.ij_j, self.RA, self.ncm,
-            self.lb, self.ub, self.ann.nx,
+            self.lb, self.ub, self.thresh,
+            min(self.TIGHTEN_NCOL, nx),
+            int(min(self.TIGHTEN_CMAX, self.m)),
         )
 
     def finalise(self):
@@ -577,18 +713,13 @@ class DeviceFitState:
     def knn_graph(self, nn):
         """Final k-NN graph; exact distances come from the host float64
         cache, predicted ones from the downloaded f32 estimates."""
-        ann = self.ann
         nn = min(int(nn), int(self.P_idx_d.shape[1]))
-        cols, ra_sel = _knn(self.RA, self.ncm, self.P_idx_d, nn)
-        cols = np.asarray(cols)
+        pair_ids, partners, ra_sel = _knn(
+            self.RA, self.ncm, self.P_idx_d, self.ij_i, self.ij_j, nn
+        )
+        pair_ids = np.asarray(pair_ids, dtype=np.int64)
+        ngi = np.asarray(partners, dtype=np.int64)
         ra_sel = np.asarray(ra_sel, dtype=np.float64)
-        P_np = ann.P_idx
-        pair_ids = np.take_along_axis(P_np, cols, axis=1).astype(np.int64)
-        pair_sum = np.concatenate(
-            [ann.IJs.sum(axis=1), [0]]
-        ).astype(np.int64)
-        ngi = pair_sum[pair_ids] - np.arange(ann.nx)[:, None]
-        ngi = np.where(pair_ids < self.m, ngi, -1)
         exact = self.exact64[np.clip(pair_ids, 0, self.m - 1)]
         ngd = np.where(
             (pair_ids < self.m) & ~np.isnan(exact), exact, ra_sel

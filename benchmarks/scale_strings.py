@@ -35,6 +35,11 @@ def main(argv=None):
     ap.add_argument("--n", type=int, default=20000)
     ap.add_argument("--length", type=int, default=400)
     ap.add_argument("--clusters", type=int, default=32)
+    # at 0.25 (the small-set default) intra-cluster distances (~2*r*L)
+    # run into the random-string background (~0.55*L) and the set has
+    # no recoverable structure; 0.1 matches the bundled real set's
+    # cluster separation
+    ap.add_argument("--mutation-rate", type=float, default=0.1)
     ap.add_argument("--k", type=int, default=15)
     ap.add_argument("--p-work", type=float, default=0.01)
     ap.add_argument("--n-anchors", type=int, default=48)
@@ -53,6 +58,7 @@ def main(argv=None):
         n=args.n,
         n_clusters=args.clusters,
         length=args.length,
+        mutation_rate=args.mutation_rate,
         seed=args.seed,
     )
     X = list(X)
