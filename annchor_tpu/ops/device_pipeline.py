@@ -46,21 +46,43 @@ MAX_FULL_MATRIX_NX = 4096
 # jitted programs (pure functions of device arrays)
 
 
-@jax.jit
-def _features_init(D32, ij_i, ij_j):
-    """LB/UB/dad for every pair in one shot (device-resident output)."""
-    Di = jnp.take(D32, ij_i, axis=0)
-    Dj = jnp.take(D32, ij_j, axis=0)
-    lb = jnp.max(jnp.abs(Di - Dj), axis=1)
-    ub = jnp.min(Di + Dj, axis=1)
-    cA = jnp.argmin(D32, axis=1)
-    ci = jnp.take(cA, ij_i)
-    cj = jnp.take(cA, ij_j)
-    dad = (
-        jnp.take_along_axis(Di, cj[:, None], axis=1)[:, 0]
-        + jnp.take_along_axis(Dj, ci[:, None], axis=1)[:, 0]
-    ) * 0.5
-    return lb, ub, dad
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _features_init(D32, ij_i, ij_j, chunk: int = 1 << 21):
+    """LB/UB/dad for every pair (device-resident output), chunked
+    inside the program: the (m, na) gather intermediates would need
+    ~20 GB at 10^8 pairs.  The double-anchor lookups are flat 1-d
+    gathers — an (m, 1) take_along_axis intermediate would get the
+    (8, 128) tile layout and balloon to ~1 KB per pair."""
+    na = D32.shape[1]
+    m = ij_i.shape[0]
+    cA = jnp.argmin(D32, axis=1).astype(jnp.int32)
+    Dflat = D32.reshape(-1)
+
+    nchunks = (m + chunk - 1) // chunk
+    padm = nchunks * chunk
+    gi_all = jnp.pad(ij_i, (0, padm - m))
+    gj_all = jnp.pad(ij_j, (0, padm - m))
+
+    def body(t, state):
+        lb, ub, dad = state
+        gi = jax.lax.dynamic_slice(gi_all, (t * chunk,), (chunk,))
+        gj = jax.lax.dynamic_slice(gj_all, (t * chunk,), (chunk,))
+        Di = jnp.take(D32, gi, axis=0)
+        Dj = jnp.take(D32, gj, axis=0)
+        lb_c = jnp.max(jnp.abs(Di - Dj), axis=1)
+        ub_c = jnp.min(Di + Dj, axis=1)
+        dad_c = (
+            jnp.take(Dflat, gi * na + jnp.take(cA, gj))
+            + jnp.take(Dflat, gj * na + jnp.take(cA, gi))
+        ) * 0.5
+        lb = jax.lax.dynamic_update_slice(lb, lb_c, (t * chunk,))
+        ub = jax.lax.dynamic_update_slice(ub, ub_c, (t * chunk,))
+        dad = jax.lax.dynamic_update_slice(dad, dad_c, (t * chunk,))
+        return lb, ub, dad
+
+    z = jnp.zeros(padm, dtype=jnp.float32)
+    lb, ub, dad = jax.lax.fori_loop(0, nchunks, body, (z, z, z))
+    return lb[:m], ub[:m], dad[:m]
 
 
 @functools.partial(jax.jit, static_argnames=("is_metric", "init"))

@@ -105,6 +105,39 @@ def test_user_evaluator_beats_scout(digits300):
     assert len(calls) > 0  # construction smoke test went through it
 
 
+def test_pure_sinkhorn_graph_recall(digits300):
+    """wasserstein_sinkhorn end-to-end, scored against the *exact* EMD
+    ground truth (VERDICT round-1 item 9): the entropic values carry a
+    bias, so the assertion is neighbour-set recall, not the
+    rounded-distance multiset (which penalises every approximate
+    value).  The on-device OT approximation must preserve the graph's
+    structure."""
+    X, M = digits300
+    k = 10
+    bf = at.BruteForce(X, "wasserstein", func_kwargs={"cost_matrix": M})
+    bf.fit()
+    exact_sets = bf.neighbor_graph[0][:, :k]
+
+    ann = at.Annchor(
+        X,
+        "wasserstein_sinkhorn",
+        func_kwargs={"cost_matrix": M},
+        n_anchors=15,
+        n_neighbors=k,
+        n_samples=2000,
+        p_work=0.3,
+        random_seed=42,
+    )
+    assert not ann.is_metric  # entropic OT must take the non-metric path
+    ann.fit()
+    got = ann.neighbor_graph[0][:, :k]
+    hits = sum(
+        len(np.intersect1d(exact_sets[i], got[i])) for i in range(len(X))
+    )
+    recall = hits / (k * len(X))
+    assert recall >= 0.9
+
+
 # ---------------------------------------------------------------------------
 # graph shortest-path metric
 
