@@ -105,10 +105,11 @@ def test_strings_levenshtein_budget():
     # This synthetic set is much harder than the reference's bundled
     # strings (weak cluster separation: intra-cluster NN distance ~16
     # vs global mean ~30), so the absolute budget is calibrated to the
-    # current pipeline (~69 errors = 1.2% of slots) as a regression
-    # guard; reference-parity on the real bundled set (<15 errors at
-    # 1600 strings) is asserted by bench.py on TPU.
-    assert err < 100
+    # current pipeline (30-67 errors across seeds = ~1% of slots) as a
+    # regression guard.  Reference parity on the real bundled set
+    # (budget <15; observed 0) is asserted by bench.py on TPU every
+    # round and by tests/test_strings_real.py (ANNCHOR_TPU_SLOW_TESTS).
+    assert err < 80
     # spent roughly the budget, never wildly more
     assert ann.evals <= 1.4 * ann.p_work * ann.N + 2 * ann.n_samples
 
