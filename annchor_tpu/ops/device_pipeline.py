@@ -121,8 +121,9 @@ def _regress_update(
     return RA2, ncm2, sample_pred
 
 
-@functools.partial(jax.jit, static_argnames=("quotas",))
-def _sample_draw(dad, ncm, key, ilo, ihi, quotas: tuple):
+@functools.partial(jax.jit, static_argnames=("quotas", "equal_mass"))
+def _sample_draw(dad, ncm, key, ilo, ihi, pool_n, quotas: tuple,
+                 equal_mass: bool = False):
     """Stratified without-replacement sample drawn on device.
 
     Numerically mirrors the host SimpleStratifiedSampler: bin edges are
@@ -130,16 +131,24 @@ def _sample_draw(dad, ncm, key, ilo, ihi, quotas: tuple):
     stratification feature; each bin contributes quotas[b] uniform
     draws.  One masked sort + one random-key argsort replace the host's
     download of the full feature column.  Returns (ids (sum(quotas),),
-    got (K,)) where slots past a bin's availability are -1."""
+    got (K,), inner edges) where slots past a bin's availability are -1.
+
+    equal_mass=True uses pool-quantile edges instead — the retry for
+    strongly multimodal features, where linspace edges land in density
+    gaps and leave bins empty (e.g. in- vs cross-cluster distances)."""
     n_bins = len(quotas)
     pool_vals = jnp.where(ncm, dad, F32_INF)
     svals = jnp.sort(pool_vals)
-    lo = svals[ilo]
-    hi = svals[ihi]
-    # linspace(lo, hi, n_bins-1) interior edges, +-inf implied outside
-    inner = lo + (hi - lo) * jnp.arange(n_bins - 1) / jnp.float32(
-        max(n_bins - 2, 1)
-    )
+    if equal_mass:
+        qix = (jnp.arange(1, n_bins, dtype=jnp.int32) * pool_n) // n_bins
+        inner = jnp.take(svals, qix)
+    else:
+        lo = svals[ilo]
+        hi = svals[ihi]
+        # linspace(lo, hi, n_bins-1) interior edges, +-inf outside
+        inner = lo + (hi - lo) * jnp.arange(n_bins - 1) / jnp.float32(
+            max(n_bins - 2, 1)
+        )
     labels = jnp.searchsorted(inner, dad, side="right")
 
     # group pool by bin with random order inside each bin: labels are
@@ -170,7 +179,7 @@ def _sample_draw(dad, ncm, key, ilo, ihi, quotas: tuple):
         valid = (jnp.arange(q) < take_b) & (ids_b >= 0)
         picks.append(jnp.where(valid, ids_b, -1))
         got.append(take_b)
-    return jnp.concatenate(picks), jnp.stack(got), lo, hi
+    return jnp.concatenate(picks), jnp.stack(got), inner
 
 
 def _pair_id_full(nx: int):
@@ -605,33 +614,39 @@ class DeviceFitState:
             jax.random.PRNGKey(random_seed), sampler.loop_num
         )
         sampler.loop_num += 1
-        ids, got, lo, hi = _sample_draw(
+        args = (
             self.dad, self.ncm, key,
             jnp.int32(min(ilo, pool - 1)),
             jnp.int32(min(ihi, pool - 1)),
-            tuple(quotas),
+            jnp.int32(pool),
         )
-        got = np.asarray(got)
-        if got.min(initial=2) < 2:
-            # degenerate stratification: degrade to a uniform draw
-            # (same policy as the host sampler) — a 1-bin call through
-            # the same kernel is exactly that
+        ids, got, inner = _sample_draw(*args, tuple(quotas))
+        if np.asarray(got).min(initial=2) < 2:
+            # linspace edges landed in density gaps (multimodal
+            # distances): retry with equal-mass quantile edges, which
+            # cannot produce empty bins, before degrading to uniform
             print(
                 "Warning: stratification bins degenerate; "
-                "sampling uniformly."
+                "switching to equal-mass bins."
             )
-            ids, got, lo, hi = _sample_draw(
-                self.dad, self.ncm, key,
-                jnp.int32(min(ilo, pool - 1)),
-                jnp.int32(min(ihi, pool - 1)),
-                (adjusted,),
+            ids, got, inner = _sample_draw(
+                *args, tuple(quotas), equal_mass=True
             )
+            if np.asarray(got).min(initial=2) < 2:
+                # last resort: uniform draw, keeping the equal-mass
+                # edges for the downstream per-bin models
+                print(
+                    "Warning: stratification bins degenerate; "
+                    "sampling uniformly."
+                )
+                ids, got, _ = _sample_draw(*args, (adjusted,))
         ids = np.asarray(ids, dtype=np.int64)
         ids = ids[ids >= 0]
         if ids.shape[0] != adjusted:
             print("Warning: Some bins contained fewer samples than requested")
-        inner = np.linspace(float(lo), float(hi), P - 1)
-        bins = np.concatenate(([-np.inf], inner, [np.inf]))
+        bins = np.concatenate(
+            ([-np.inf], np.asarray(inner, np.float64), [np.inf])
+        )
         return ids, bins
 
     def regress_update(self, regression, sample_ids, sample_y):

@@ -145,17 +145,32 @@ class Sampler(ABC):
                 pool_ids, adjusted, pool_feature, sample_bins, random_seed
             )
         except SamplingError:
-            # degenerate stratification (e.g. coinciding quantile edges
-            # on discrete distances): training pairs matter more than
-            # strict stratification, so degrade to a uniform draw
-            # instead of aborting the fit
+            # degenerate stratification (linspace edges in density gaps
+            # of a multimodal feature, or coinciding quantile edges on
+            # discrete distances): retry with equal-mass bins, then
+            # degrade to a uniform draw — training pairs matter more
+            # than strict stratification, so never abort the fit
             print(
                 "Warning: stratification bins degenerate; "
-                "sampling uniformly."
+                "switching to equal-mass bins."
             )
-            rng = np.random.default_rng(random_seed + self.loop_num - 1)
-            take = min(adjusted, pool_ids.shape[0])
-            sample_ixs = rng.choice(pool_ids, size=take, replace=False)
+            pool = pool_feature.shape[0]
+            qix = (np.arange(1, self.n_partitions) * pool) // self.n_partitions
+            inner = np.sort(pool_feature)[np.clip(qix, 0, pool - 1)]
+            sample_bins = _edges_from_inner(inner)
+            try:
+                sample_ixs = self.sample_partition(
+                    pool_ids, adjusted, pool_feature, sample_bins,
+                    random_seed,
+                )
+            except SamplingError:
+                print(
+                    "Warning: stratification bins degenerate; "
+                    "sampling uniformly."
+                )
+                rng = np.random.default_rng(random_seed + self.loop_num - 1)
+                take = min(adjusted, pool_ids.shape[0])
+                sample_ixs = rng.choice(pool_ids, size=take, replace=False)
         if adjusted != sample_ixs.shape[0]:
             print("Warning: Some bins contained fewer samples than requested")
         return sample_ixs, sample_ixs.shape[0], sample_bins
