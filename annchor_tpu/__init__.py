@@ -9,6 +9,7 @@ multi-chip sharding of the pair pipeline.
 
 from annchor_tpu.annchor import Annchor, BruteForce, compare_neighbor_graphs
 from annchor_tpu.error_predictors import SimpleStratifiedErrorRegression
+from annchor_tpu.graph_sp import GraphShortestPathMetric
 from annchor_tpu.metrics import Metric, get_function_from_input
 from annchor_tpu.pickers import (
     ExternalAnchorPicker,
@@ -32,6 +33,7 @@ __all__ = [
     "compare_neighbor_graphs",
     "Metric",
     "get_function_from_input",
+    "GraphShortestPathMetric",
     "MaxMinAnchorPicker",
     "RandomAnchorPicker",
     "SelectedAnchorPicker",
