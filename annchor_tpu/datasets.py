@@ -85,29 +85,52 @@ def make_strings(
     mutation_rate: float = 0.25,
     alphabet: str = "ACGT",
     seed: int = 42,
+    evolve: bool = False,
 ):
     """Synthetic clustered string set with the reference set's shape
     (1600 strings, ~500 chars, 8 clusters): random seed strings per
-    cluster, members derived by substitutions/indels."""
+    cluster, members derived by substitutions/indels.
+
+    evolve=False (default) mutates every member directly from the
+    cluster seed — a star topology where all intra-cluster distances
+    concentrate in one tight band.  evolve=True grows each cluster as
+    a mutation *tree* (each new member mutates a uniformly chosen
+    existing member by `mutation_rate`), which yields the graded
+    phylogenetic distance structure of real string corpora: a point's
+    true nearest neighbours are its parent/children/siblings, at a
+    fraction of the cluster diameter.  Star clusters make large-n
+    k-NN benchmarks degenerate (ranking inside the flat band needs
+    near-exhaustive evaluation); trees are the realistic regime."""
     rng = np.random.default_rng(seed)
     chars = np.array(list(alphabet))
     X, y = [], []
     # distribute the remainder so exactly n strings come back
     sizes = np.full(n_clusters, n // n_clusters)
     sizes[: n % n_clusters] += 1
+
+    def mutate(parent):
+        s = parent.copy()
+        nmut = rng.binomial(len(s), mutation_rate)
+        pos = rng.integers(0, len(s), size=nmut)
+        s[pos] = rng.choice(chars, size=nmut)
+        ndel = rng.binomial(len(s), mutation_rate / 5)
+        if ndel:
+            keep = np.ones(len(s), dtype=bool)
+            keep[rng.integers(0, len(s), size=ndel)] = False
+            s = s[keep]
+        return s
+
     for c in range(n_clusters):
         seed_len = int(length * rng.uniform(0.85, 1.15))
         seed_str = rng.choice(chars, size=seed_len)
-        for _ in range(int(sizes[c])):
-            s = seed_str.copy()
-            nmut = rng.binomial(seed_len, mutation_rate)
-            pos = rng.integers(0, seed_len, size=nmut)
-            s[pos] = rng.choice(chars, size=nmut)
-            ndel = rng.binomial(seed_len, mutation_rate / 5)
-            if ndel:
-                keep = np.ones(len(s), dtype=bool)
-                keep[rng.integers(0, len(s), size=ndel)] = False
-                s = s[keep]
+        if evolve:
+            members = [mutate(seed_str)]
+            for _ in range(int(sizes[c]) - 1):
+                parent = members[rng.integers(0, len(members))]
+                members.append(mutate(parent))
+        else:
+            members = [mutate(seed_str) for _ in range(int(sizes[c]))]
+        for s in members:
             X.append("".join(s))
             y.append(c)
     return np.array(X), np.array(y)

@@ -504,11 +504,26 @@ class DeviceFitState:
     live on both sides; full f32 arrays come down only on demand)."""
 
     def __init__(self, ann):
+        import os
+        import time as _time
+
+        _dbg = os.environ.get("ANNCHOR_TPU_DEBUG_TIMING")
+        _t0 = _time.perf_counter()
+
+        def _tick(label):
+            nonlocal _t0
+            if _dbg:
+                t = _time.perf_counter()
+                print("    [dev-init] %s: %.3f s" % (label, t - _t0))
+                _t0 = t
+
         self.ann = ann
         nx = ann.nx
         self.m = ann.IJs.shape[0]
         self.ij_i = jnp.asarray(ann.IJs[:, 0].astype(np.int32))
         self.ij_j = jnp.asarray(ann.IJs[:, 1].astype(np.int32))
+        jax.block_until_ready((self.ij_i, self.ij_j))
+        _tick("ij upload")
         if self.m == nx * (nx - 1) // 2:
             # all-pairs candidate set: build the incidence matrix on
             # device from its closed form instead of uploading it
@@ -522,10 +537,14 @@ class DeviceFitState:
             self.P_idx_d = _pidx_from_pairs(
                 self.ij_i, self.ij_j, nx, max_deg
             )
+        _tick("P_idx build")
         D32 = jnp.asarray(np.asarray(ann.D, dtype=np.float32))
         self.lb, self.ub, self.dad = _features_init(
             D32, self.ij_i, self.ij_j
         )
+        if _dbg:
+            jax.block_until_ready((self.lb, self.ub, self.dad))
+        _tick("features init")
 
         # host mirrors: anchor flag, dad column (sampler input),
         # not-computed mask, exact float64 values
@@ -537,10 +556,12 @@ class DeviceFitState:
             )
         else:
             self.anchor_flag = np.zeros(self.m, dtype=bool)
+        _tick("anchor flag host")
         self.ncm_host = ~self.anchor_flag
         self.ncm = jnp.asarray(self.ncm_host)
         self.exact64 = np.full(self.m, np.nan)
         self._fill_anchor_exacts()
+        _tick("host mirrors")
 
         self.RA = jnp.zeros(self.m, dtype=jnp.float32)
         self.thresh = None

@@ -209,10 +209,23 @@ def candidate_pairs(
         IJs = np.stack([r, c], axis=1).astype(np.int32)
         return IJs, np.asarray(sid), np.asarray(S), np.asarray(eff)
 
+    _t0 = _time.perf_counter()
+
+    def _tick(label):
+        nonlocal _t0
+        if _dbg:
+            t = _time.perf_counter()
+            print("    [locality] %s: %.3f s" % (label, t - _t0))
+            _t0 = t
+
     S, sid = anchor_membership(D, locality)
+    if _dbg:
+        jax.block_until_ready(S)
+    _tick("membership")
     eff = effective_thresholds(
         S, loc_thresh, loc_min, block=block, locality=locality
     )
+    _tick("eff thresholds")
     eff_j = jnp.asarray(eff)
 
     # pad the column axis to a multiple of 32 for bit packing
@@ -239,6 +252,7 @@ def candidate_pairs(
         packed = np.asarray(
             _block_keep_packed(S_pad, Sb, eb, eff_pad, np.int32(s))
         )[: e - s]  # (B, (nx+pad)/32) uint32
+        _tick("block %d pack+download" % (s // nblk))
         bytes_ = np.ascontiguousarray(packed).view(np.uint8)
         keep = np.unpackbits(
             bytes_, axis=1, bitorder="little"
@@ -246,9 +260,11 @@ def candidate_pairs(
         r, c = np.nonzero(keep)
         rows_out.append((r + s).astype(np.int32))
         cols_out.append(c.astype(np.int32))
+        _tick("block %d unpack+nonzero" % (s // nblk))
     I = np.concatenate(rows_out) if rows_out else np.zeros(0, np.int32)
     J = np.concatenate(cols_out) if cols_out else np.zeros(0, np.int32)
     IJs = np.stack([I, J], axis=1)
+    _tick("concatenate")
     return IJs, np.asarray(sid), np.asarray(S), eff
 
 

@@ -35,11 +35,12 @@ def main(argv=None):
     ap.add_argument("--n", type=int, default=20000)
     ap.add_argument("--length", type=int, default=400)
     ap.add_argument("--clusters", type=int, default=32)
-    # at 0.25 (the small-set default) intra-cluster distances (~2*r*L)
-    # run into the random-string background (~0.55*L) and the set has
-    # no recoverable structure; 0.1 matches the bundled real set's
-    # cluster separation
-    ap.add_argument("--mutation-rate", type=float, default=0.1)
+    # per-branch mutation rate of the evolve-mode phylogeny: parent
+    # distance ~2*r*L (=8 at the defaults), so k-NN are close
+    # relatives and the distance structure is graded like real string
+    # corpora (star-topology clusters put all ~n/clusters members in
+    # one flat band, which no sub-exhaustive method can rank)
+    ap.add_argument("--mutation-rate", type=float, default=0.01)
     ap.add_argument("--k", type=int, default=15)
     ap.add_argument("--p-work", type=float, default=0.01)
     ap.add_argument("--n-anchors", type=int, default=48)
@@ -47,8 +48,15 @@ def main(argv=None):
     # at scale the locality filter must be selective or the candidate
     # pair set explodes (the reference docs tune the same knobs)
     ap.add_argument("--loc-thresh", type=int, default=2)
+    # the reference CI uses niters=4 for its string workload
+    # (/root/reference/annchor/tests/test_annchor.py:71-102); more
+    # iterations re-target the eval budget as the error model improves
+    ap.add_argument("--niters", type=int, default=2)
     ap.add_argument("--check-rows", type=int, default=50)
     ap.add_argument("--seed", type=int, default=42)
+    # warm-up fit first so the timed figure excludes XLA compilation,
+    # matching the baseline protocol (reference excludes numba JIT)
+    ap.add_argument("--warm", action="store_true")
     args = ap.parse_args(argv)
 
     import annchor_tpu as at
@@ -60,23 +68,31 @@ def main(argv=None):
         length=args.length,
         mutation_rate=args.mutation_rate,
         seed=args.seed,
+        evolve=True,
     )
     X = list(X)
 
-    ann = at.Annchor(
-        X,
-        "levenshtein",
-        n_anchors=args.n_anchors,
-        n_neighbors=args.k,
-        n_samples=args.n_samples,
-        p_work=args.p_work,
-        loc_thresh=args.loc_thresh,
-        random_seed=args.seed,
-        verbose=True,
-    )
-    t0 = time.perf_counter()
-    ann.fit()
-    build_s = time.perf_counter() - t0
+    def build(verbose):
+        ann = at.Annchor(
+            X,
+            "levenshtein",
+            n_anchors=args.n_anchors,
+            n_neighbors=args.k,
+            n_samples=args.n_samples,
+            p_work=args.p_work,
+            loc_thresh=args.loc_thresh,
+            niters=args.niters,
+            random_seed=args.seed,
+            verbose=verbose,
+        )
+        t0 = time.perf_counter()
+        ann.fit()
+        return ann, time.perf_counter() - t0
+
+    warm_s = None
+    if args.warm:
+        _, warm_s = build(verbose=False)
+    ann, build_s = build(verbose=True)
 
     # sampled exact-recall check
     rng = np.random.default_rng(0)
@@ -85,7 +101,21 @@ def main(argv=None):
     from annchor_tpu.metrics import get_function_from_input
 
     metric = get_function_from_input("levenshtein", None)
-    hits, total = 0, 0
+    # candidate coverage: true neighbors the locality filter admitted
+    # as pairs at all (the recall ceiling; everything below it is the
+    # regression/refinement ranking's miss, not the filter's)
+    IJs = np.asarray(ann.IJs)
+    row_mask = np.zeros(args.n, dtype=bool)
+    row_mask[rows] = True
+    touch = row_mask[IJs[:, 0]] | row_mask[IJs[:, 1]]
+    cand = {int(r): set() for r in rows}
+    for i, j in IJs[touch]:
+        if row_mask[i]:
+            cand[int(i)].add(int(j))
+        if row_mask[j]:
+            cand[int(j)].add(int(i))
+
+    hits, total, covered = 0, 0, 0
     for r in rows:
         IJ = np.stack(
             [np.full(args.n, r, dtype=np.int64), np.arange(args.n)], axis=1
@@ -95,6 +125,7 @@ def main(argv=None):
         exact = set(np.argsort(d, kind="stable")[: args.k - 1].tolist())
         got = set(np.asarray(ann.neighbor_graph[0])[r, 1: args.k].tolist())
         hits += len(exact & got)
+        covered += len(exact & cand[int(r)])
         total += args.k - 1
 
     result = {
@@ -105,11 +136,15 @@ def main(argv=None):
         "length": args.length,
         "k": args.k,
         "p_work": args.p_work,
+        "niters": args.niters,
         "evals": int(ann.evals),
         "pairs_tracked": int(ann.IJs.shape[0]),
         "sampled_recall": round(hits / total, 4),
+        "candidate_coverage": round(covered / total, 4),
         "check_rows": len(rows),
     }
+    if warm_s is not None:
+        result["warmup_s"] = round(warm_s, 2)
     print(json.dumps(result))
     return 0
 
