@@ -22,6 +22,7 @@ tensors instead of numba Dicts:
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -37,7 +38,7 @@ from annchor_tpu.metrics import (
 from annchor_tpu.ops import pairs as pair_ops
 from annchor_tpu.ops.bounds_update import tighten_bounds
 from annchor_tpu.ops.features import bounds_and_dad
-from annchor_tpu.ops.locality import candidate_pairs
+from annchor_tpu.ops.locality import candidate_pairs, candidate_pairs_device
 from annchor_tpu.pickers import MaxMinAnchorPicker
 from annchor_tpu.regressors import SimpleStratifiedLinearRegression
 from annchor_tpu.samplers import NothingToSample, SimpleStratifiedSampler
@@ -154,6 +155,8 @@ class Annchor:
         self._RefineApprox = None
         self._ncm = None
         self._P_idx = None
+        self._IJs = None
+        self._ij_dev = None  # device-built pair list (scale path)
         self._dev = None  # device-resident state (ops.device_pipeline)
         self.neighbor_graph = None
 
@@ -240,7 +243,7 @@ class Annchor:
     @property
     def not_computed_mask(self):
         if self._dev is not None:
-            return self._dev.ncm_host
+            return self._dev.ncm_to_host()
         return self._ncm
 
     @not_computed_mask.setter
@@ -308,6 +311,24 @@ class Annchor:
             self.evals += evals
 
     @property
+    def IJs(self):
+        """Candidate pair array (m, 2).  On large device-pipeline fits
+        the pair list is built and kept on device
+        (ops.locality.candidate_pairs_device); the host copy is only
+        assembled if someone actually asks for it."""
+        if self._IJs is None and self._ij_dev is not None:
+            ij_i, ij_j, _ = self._ij_dev
+            self._IJs = np.stack(
+                [np.asarray(ij_i), np.asarray(ij_j)], axis=1
+            )
+        return self._IJs
+
+    @IJs.setter
+    def IJs(self, value):
+        self._IJs = value
+        self._ij_dev = None
+
+    @property
     def P_idx(self):
         """Padded point-incidence matrix (lazy: large device-pipeline
         fits never need the host copy, and at 10^8 pairs it is
@@ -324,16 +345,27 @@ class Annchor:
         """Candidate pairs from shared near-anchor sets
         (reference annchor.py:208-256). Builds IJs and the padded
         point-incidence index (lazily for large device-pipeline fits)."""
-        self.IJs, self.sid, self.S, self.loc_eff = candidate_pairs(
-            self.D, self.locality, self.loc_thresh, self.loc_min
-        )
-        if self.nx > 4096 and self._device_pipeline_ok():
+        force_sparse = bool(
+            os.environ.get("ANNCHOR_TPU_FORCE_SPARSE")
+        )  # test hook: exercise the scale path at small nx
+        if (
+            self.nx > 4096 or force_sparse
+        ) and self._device_pipeline_ok():
+            # scale path: pair list built and kept on device — nothing
+            # O(m) crosses the link or touches the host here
+            (
+                ij_i, ij_j, m,
+                self.sid, self.S, self.loc_eff, self.P_cnt,
+            ) = candidate_pairs_device(
+                self.D, self.locality, self.loc_thresh, self.loc_min
+            )
+            self._IJs = None
+            self._ij_dev = (ij_i, ij_j, m)
             self._P_idx = None  # device pipeline builds its own
-            self.P_cnt = (
-                np.bincount(self.IJs[:, 0], minlength=self.nx)
-                + np.bincount(self.IJs[:, 1], minlength=self.nx)
-            ).astype(np.int32)
         else:
+            self.IJs, self.sid, self.S, self.loc_eff = candidate_pairs(
+                self.D, self.locality, self.loc_thresh, self.loc_min
+            )
             self.P_idx, self.P_cnt = pair_ops.build_point_index(
                 self.IJs, self.nx
             )
@@ -394,7 +426,7 @@ class Annchor:
             )
             self.n_samples = self.sample_ixs.shape[0]
             self.sample_features = self._dev.sample_rows(self.sample_ixs)
-            self.sample_ijs = self.IJs[self.sample_ixs]
+            self.sample_ijs = self._dev._pairs_at(self.sample_ixs)
             self.sample_y = self._eval_pairs(self.sample_ijs)
             # ncm flips on device inside regress_update
             return
@@ -486,7 +518,7 @@ class Annchor:
             )
             self.nextback = np.zeros(0, dtype=np.int64)
             if candidates.shape[0]:
-                exact = self._eval_pairs(self.IJs[candidates])
+                exact = self._eval_pairs(self._dev._pairs_at(candidates))
                 self._dev.apply_exact(candidates, exact)
             return
         thresh = np.asarray(

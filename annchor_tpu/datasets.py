@@ -197,25 +197,94 @@ def load_digits():
     return {"X": X, "y": y, "neighbor_graph": ng, "cost_matrix": M}
 
 
-def load_digits_large():
-    """Full UCI OCR digits set (5620 images).  The reference bundles
-    this as a git-LFS blob; if a digits_data_large.npz is present in
-    the reference data dir it is used, otherwise raises."""
+def make_digits_large(n: int = 5620, seed: int = 0):
+    """Deterministic stand-in for the full UCI OCR digits set
+    (reference datasets.py:49-119: 5620 8x8 images = 3823 train +
+    1797 test).  Only the 1797-image test split is redistributable
+    (sklearn); the extra images are label-preserving augmentations of
+    it — sub-pixel shifts and small rotations resampled bilinearly on
+    the 8x8 grid, re-quantised to the 0..16 intensity range — so the
+    histogram structure the Wasserstein workload exercises (mass
+    ~200-300, grid support, per-class modes) matches the original
+    set's.  Seeded and fully reproducible."""
+    from scipy.ndimage import map_coordinates
+    from sklearn.datasets import load_digits as _skl
+
+    skl = _skl()
+    base = skl.data.astype(np.float64).reshape(-1, 8, 8)
+    yb = skl.target.astype(np.int64)
+    nb = base.shape[0]
+    if n <= nb:
+        return skl.data[:n].astype(np.float64), yb[:n]
+
+    rng = np.random.default_rng(seed)
+    extra = n - nb
+    src = rng.integers(0, nb, size=extra)
+    theta = rng.uniform(-0.15, 0.15, size=extra)  # ~±8.6 degrees
+    dx = rng.uniform(-0.7, 0.7, size=extra)
+    dy = rng.uniform(-0.7, 0.7, size=extra)
+    gy, gx = np.mgrid[0:8, 0:8].astype(np.float64)
+    cy = cx = 3.5
+    out = np.empty((extra, 8, 8))
+    for t in range(extra):
+        c, s = np.cos(theta[t]), np.sin(theta[t])
+        # inverse map: output pixel -> source coordinate
+        sy = cy + c * (gy - cy) + s * (gx - cx) - dy[t]
+        sx = cx - s * (gy - cy) + c * (gx - cx) - dx[t]
+        out[t] = map_coordinates(
+            base[src[t]], [sy, sx], order=1, mode="constant"
+        )
+    out = np.clip(np.rint(out), 0, 16)
+    X = np.concatenate([base.reshape(nb, 64), out.reshape(extra, 64)])
+    y = np.concatenate([yb, yb[src]])
+    return X, y
+
+
+def load_digits_large(k: int = 100):
+    """Full-scale digits workload (5620 8x8 images) with exact
+    Wasserstein 100-NN ground truth (reference datasets.py:49-119).
+
+    The reference bundles the real train+test UCI set as a git-LFS
+    blob; when that blob is reachable it is used verbatim.  Otherwise
+    the set is regenerated at the same scale by ``make_digits_large``
+    (augmented test split — documented stand-in, not the original
+    images) and the ground truth is computed once with the native
+    exact-EMD solver and cached under ANNCHOR_TPU_CACHE (~25 min on
+    first call)."""
     ref = _refdata_dir()
     path = ref and os.path.join(ref, "digits_data_large.npz")
+    M = grid_cost_matrix()
     if path and os.path.exists(path):
         d = np.load(path)
         return {
             "X": d["X"],
             "y": d["y"],
             "neighbor_graph": (d["neighbor_graph"][0], d["neighbor_graph"][1]),
-            "cost_matrix": grid_cost_matrix(),
+            "cost_matrix": M,
         }
-    raise FileNotFoundError(
-        "digits_data_large.npz not available (git-LFS blob missing from "
-        "the reference mount). Use load_digits() or supply "
-        "ANNCHOR_TPU_REFDATA."
-    )
+    X, y = make_digits_large()
+    cache = os.path.join(_cache_dir(), "digits_large_gt.npz")
+    if os.path.exists(cache):
+        g = np.load(cache)
+        ng = (g["ngi"][:, :k], g["ngd"][:, :k])
+    else:
+        print(
+            "load_digits_large: reference LFS blob unavailable; "
+            "regenerating a synthetic 5620-image stand-in and its "
+            "exact-EMD ground truth (one-off, ~25 min)..."
+        )
+        from annchor_tpu import native
+
+        n = X.shape[0]
+        iu = np.triu_indices(n, k=1)
+        dists = native.emd_batch(X, X, M, iu[0], iu[1])
+        D = np.zeros((n, n))
+        D[iu] = dists
+        D += D.T
+        ng = _knn_from_dense(D, 100)
+        np.savez_compressed(cache, ngi=ng[0], ngd=ng[1])
+        ng = (ng[0][:, :k], ng[1][:, :k])
+    return {"X": X, "y": y, "neighbor_graph": ng, "cost_matrix": M}
 
 
 def make_graph(

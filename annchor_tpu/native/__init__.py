@@ -101,6 +101,25 @@ def get_lib():
             ctypes.c_long,
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.unpack_pairs.restype = ctypes.c_long
+        lib.unpack_pairs.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_long,
+            ctypes.c_long,
+            ctypes.c_long,
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.unpack_pairs_rows.restype = ctypes.c_long
+        lib.unpack_pairs_rows.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_long,
+            ctypes.c_long,
+            ctypes.c_long,
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         _lib = lib
         return _lib
 
@@ -195,3 +214,48 @@ def lev_batch(codes, lengths, I, J) -> np.ndarray:
     if rc != 0:
         raise ValueError("lev_batch: index out of range")
     return out
+
+
+def unpack_pairs(words, nx, row_off=0):
+    """Decode a bit-packed (B, W)-uint32 candidate-mask block into
+    (rows, cols) int32 coordinate arrays (bit b of word w = column
+    32w+b, rows offset by row_off).  ~memory-bandwidth speed; replaces
+    the numpy unpackbits+nonzero round trip on the locality path."""
+    lib = get_lib()
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    B, W = words.shape
+    null = ctypes.POINTER(ctypes.c_int32)()
+    cap = lib.unpack_pairs(
+        _cptr(words, ctypes.c_uint32), B, W, nx, row_off, null, null
+    )
+    out_i = np.empty(cap, dtype=np.int32)
+    out_j = np.empty(cap, dtype=np.int32)
+    cnt = lib.unpack_pairs(
+        _cptr(words, ctypes.c_uint32), B, W, nx, row_off,
+        _cptr(out_i, ctypes.c_int32), _cptr(out_j, ctypes.c_int32),
+    )
+    return out_i[:cnt], out_j[:cnt]
+
+
+def count_pairs(words) -> int:
+    """Set-bit count of a packed (B, W)-uint32 mask block."""
+    lib = get_lib()
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    null = ctypes.POINTER(ctypes.c_int32)()
+    return lib.unpack_pairs(
+        _cptr(words, ctypes.c_uint32), words.shape[0], words.shape[1],
+        words.shape[1] * 32, 0, null, null,
+    )
+
+
+def unpack_pairs_into(words, nx, row_off, out_ij) -> int:
+    """Decode a packed mask block directly into rows of a preallocated
+    int32 (m, 2) array slice; returns rows written.  `out_ij` must be
+    C-contiguous with at least popcount(words) free rows."""
+    lib = get_lib()
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    assert out_ij.dtype == np.int32 and out_ij.flags.c_contiguous
+    return lib.unpack_pairs_rows(
+        _cptr(words, ctypes.c_uint32), words.shape[0], words.shape[1],
+        nx, row_off, _cptr(out_ij, ctypes.c_int32),
+    )

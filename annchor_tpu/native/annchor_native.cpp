@@ -519,6 +519,69 @@ void parallel_for(long m, Fn&& fn) {
 
 extern "C" {
 
+// Decode a bit-packed candidate mask block into pair coordinates.
+// words: (B, W) row-major uint32; bit b of word w encodes column
+// 32w+b (the layout the device-side packers emit).  When out_i is
+// null only the set-bit count is returned (first pass sizes the
+// arrays, second fills them); rows are offset by row_off.  Columns
+// beyond nx never have their bit set by the packers, but are guarded
+// anyway.
+long unpack_pairs(const uint32_t* words, long B, long W, long nx,
+                  long row_off, int32_t* out_i, int32_t* out_j) {
+  long cnt = 0;
+  if (!out_i) {
+    const long total = B * W;
+    for (long k = 0; k < total; ++k) cnt += __builtin_popcount(words[k]);
+    return cnt;
+  }
+  for (long r = 0; r < B; ++r) {
+    const uint32_t* row = words + r * W;
+    const int32_t ri = static_cast<int32_t>(r + row_off);
+    for (long w = 0; w < W; ++w) {
+      uint32_t x = row[w];
+      const long base = w * 32;
+      while (x) {
+        const int b = __builtin_ctz(x);
+        const long col = base + b;
+        if (col < nx) {
+          out_i[cnt] = ri;
+          out_j[cnt] = static_cast<int32_t>(col);
+          ++cnt;
+        }
+        x &= x - 1;
+      }
+    }
+  }
+  return cnt;
+}
+
+// Same decode, but writes interleaved (i, j) rows of an int32 (m, 2)
+// buffer — the candidate-pair array layout — so no second copy is
+// needed to assemble IJs.
+long unpack_pairs_rows(const uint32_t* words, long B, long W, long nx,
+                       long row_off, int32_t* out_ij) {
+  long cnt = 0;
+  for (long r = 0; r < B; ++r) {
+    const uint32_t* row = words + r * W;
+    const int32_t ri = static_cast<int32_t>(r + row_off);
+    for (long w = 0; w < W; ++w) {
+      uint32_t x = row[w];
+      const long base = w * 32;
+      while (x) {
+        const int b = __builtin_ctz(x);
+        const long col = base + b;
+        if (col < nx) {
+          out_ij[2 * cnt] = ri;
+          out_ij[2 * cnt + 1] = static_cast<int32_t>(col);
+          ++cnt;
+        }
+        x &= x - 1;
+      }
+    }
+  }
+  return cnt;
+}
+
 double emd_single(const double* a, const double* b, long nbins,
                   const double* cost) {
   return emd_normalised(a, b, static_cast<int>(nbins), cost);

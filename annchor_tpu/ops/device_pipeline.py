@@ -498,10 +498,56 @@ def _gather_rows(lb, ub, dad, ids):
 # host-side driver object
 
 
+class _ExactStore:
+    """Sparse float64 store of computed pair distances, keyed by pair
+    row id, kept id-sorted for O(log) batched lookup.  Replaces the
+    dense m-sized host mirror on large fits (only the computed budget
+    — a few million values — ever exists on the host)."""
+
+    def __init__(self):
+        self.ids = np.empty(0, np.int64)
+        self.vals = np.empty(0, np.float64)
+
+    def add(self, ids, vals):
+        ids = np.asarray(ids, dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        vals = np.asarray(vals, dtype=np.float64)[order]
+        pos = np.searchsorted(self.ids, ids)
+        self.ids = np.insert(self.ids, pos, ids)
+        self.vals = np.insert(self.vals, pos, vals)
+
+    def lookup(self, q):
+        """Values for pair ids `q` (NaN where not computed); any
+        shape, applied elementwise."""
+        q = np.asarray(q, dtype=np.int64)
+        out = np.full(q.shape, np.nan)
+        if self.ids.shape[0] == 0:
+            return out
+        pos = np.clip(np.searchsorted(self.ids, q), 0, self.ids.shape[0] - 1)
+        hit = self.ids[pos] == q
+        out[hit] = self.vals[pos[hit]]
+        return out
+
+
+@jax.jit
+def _anchor_flag_dev(ij_i, ij_j, is_anchor):
+    return jnp.take(is_anchor, ij_i) | jnp.take(is_anchor, ij_j)
+
+
+@jax.jit
+def _gather_pair_cols(ij_i, ij_j, ids):
+    return jnp.take(ij_i, ids), jnp.take(ij_j, ids)
+
+
 class DeviceFitState:
     """Device-resident pair state plus the host bookkeeping needed to
-    keep the plug-in surface intact (ncm and exact float64 distances
-    live on both sides; full f32 arrays come down only on demand)."""
+    keep the plug-in surface intact.  Small fits keep dense host
+    mirrors (ncm and exact float64 values); large fits built by
+    `candidate_pairs_device` run in *sparse-host* mode — the pair list
+    never crosses the link, the not-computed mask lives only on
+    device, and exact values sit in a sparse store sized by the eval
+    budget instead of the pair count."""
 
     def __init__(self, ann):
         import os
@@ -519,24 +565,29 @@ class DeviceFitState:
 
         self.ann = ann
         nx = ann.nx
-        self.m = ann.IJs.shape[0]
-        self.ij_i = jnp.asarray(ann.IJs[:, 0].astype(np.int32))
-        self.ij_j = jnp.asarray(ann.IJs[:, 1].astype(np.int32))
-        jax.block_until_ready((self.ij_i, self.ij_j))
+        ij_dev = getattr(ann, "_ij_dev", None)
+        self.sparse = ij_dev is not None
+        if self.sparse:
+            self.ij_i, self.ij_j, self.m = ij_dev
+        else:
+            self.m = ann.IJs.shape[0]
+            self.ij_i = jnp.asarray(ann.IJs[:, 0].astype(np.int32))
+            self.ij_j = jnp.asarray(ann.IJs[:, 1].astype(np.int32))
+            jax.block_until_ready((self.ij_i, self.ij_j))
         _tick("ij upload")
-        if self.m == nx * (nx - 1) // 2:
+        if self.m == nx * (nx - 1) // 2 and not self.sparse:
             # all-pairs candidate set: build the incidence matrix on
             # device from its closed form instead of uploading it
             self.P_idx_d = _pidx_full_dev(nx)
-        elif getattr(ann, "_P_idx", None) is not None:
-            self.P_idx_d = jnp.asarray(ann.P_idx)
-        else:
+        elif self.sparse or getattr(ann, "_P_idx", None) is None:
             # large fits skip the host incidence matrix entirely:
             # build it on device by counting sort over the pair list
             max_deg = int(np.asarray(ann.P_cnt).max())
             self.P_idx_d = _pidx_from_pairs(
                 self.ij_i, self.ij_j, nx, max_deg
             )
+        else:
+            self.P_idx_d = jnp.asarray(ann.P_idx)
         _tick("P_idx build")
         D32 = jnp.asarray(np.asarray(ann.D, dtype=np.float32))
         self.lb, self.ub, self.dad = _features_init(
@@ -546,21 +597,43 @@ class DeviceFitState:
             jax.block_until_ready((self.lb, self.ub, self.dad))
         _tick("features init")
 
-        # host mirrors: anchor flag, dad column (sampler input),
-        # not-computed mask, exact float64 values
+        # anchor flag / not-computed mask / exact float64 values:
+        # dense host mirrors on small fits, device + sparse store at
+        # scale
         if len(ann.A):
-            anchor_set = np.zeros(nx, dtype=bool)
-            anchor_set[np.asarray(ann.A, dtype=int)] = True
-            self.anchor_flag = (
-                anchor_set[ann.IJs[:, 0]] | anchor_set[ann.IJs[:, 1]]
-            )
+            anchor_np = np.zeros(nx, dtype=bool)
+            anchor_np[np.asarray(ann.A, dtype=int)] = True
         else:
-            self.anchor_flag = np.zeros(self.m, dtype=bool)
-        _tick("anchor flag host")
-        self.ncm_host = ~self.anchor_flag
-        self.ncm = jnp.asarray(self.ncm_host)
-        self.exact64 = np.full(self.m, np.nan)
-        self._fill_anchor_exacts()
+            anchor_np = np.zeros(nx, dtype=bool)
+        if self.sparse:
+            self.anchor_flag = None
+            self.ncm_host = None
+            af = _anchor_flag_dev(
+                self.ij_i, self.ij_j, jnp.asarray(anchor_np)
+            )
+            self.ncm = ~af
+            self.exact = _ExactStore()
+            n_anchor_pairs = int(jnp.sum(af))
+            self.pool = self.m - n_anchor_pairs
+            self._anchor_ids = None
+            if n_anchor_pairs:
+                ids = np.asarray(
+                    jnp.flatnonzero(af, size=n_anchor_pairs)
+                ).astype(np.int64)
+                self._anchor_ids = ids
+                self._fill_anchor_exacts(ids)
+        else:
+            self.anchor_flag = (
+                anchor_np[ann.IJs[:, 0]] | anchor_np[ann.IJs[:, 1]]
+            )
+            _tick("anchor flag host")
+            self.ncm_host = ~self.anchor_flag
+            self.ncm = jnp.asarray(self.ncm_host)
+            self.pool = int(self.ncm_host.sum())
+            self.exact64 = np.full(self.m, np.nan)
+            ids = np.flatnonzero(self.anchor_flag)
+            self._anchor_ids = ids if ids.shape[0] else None
+            self._fill_anchor_exacts(ids)
         _tick("host mirrors")
 
         self.RA = jnp.zeros(self.m, dtype=jnp.float32)
@@ -570,29 +643,57 @@ class DeviceFitState:
         # non-metric fixup rows: anchor pairs must carry their exact
         # column values once predictions stop being bound-clipped
         self._override = None
-        if not ann.is_metric and len(ann.A):
-            ids = np.flatnonzero(self.anchor_flag)
+        if not ann.is_metric and self._anchor_ids is not None:
+            ids = self._anchor_ids
+            vals = (
+                self.exact.lookup(ids)
+                if self.sparse
+                else self.exact64[ids]
+            )
             self._override = (
                 jnp.asarray(ids.astype(np.int32)),
-                jnp.asarray(self.exact64[ids].astype(np.float32)),
+                jnp.asarray(vals.astype(np.float32)),
             )
 
-    def _fill_anchor_exacts(self):
+    def _pairs_at(self, ids):
+        """(len, 2) int64 host pair coordinates for pair row ids."""
+        if not self.sparse:
+            return self.ann.IJs[ids]
+        ii, jj = _gather_pair_cols(
+            self.ij_i, self.ij_j, jnp.asarray(ids.astype(np.int32))
+        )
+        return np.stack(
+            [np.asarray(ii), np.asarray(jj)], axis=1
+        ).astype(np.int64)
+
+    def _store_exact(self, ids, vals):
+        if self.sparse:
+            self.exact.add(ids, vals)
+        else:
+            self.ncm_host[ids] = False
+            self.exact64[ids] = vals
+        self.pool -= int(np.asarray(ids).shape[0])
+
+    def _fill_anchor_exacts(self, ids):
         """Anchor-pair rows are exact from the D columns (vectorised
         over the anchor-flag mask; no incidence matrix needed)."""
         ann = self.ann
-        if not len(ann.A):
+        if not len(ann.A) or ids is None or not len(ids):
             return
         A = np.asarray(ann.A, dtype=int)
         col_of = np.full(ann.nx, -1, dtype=np.int64)
         col_of[A] = np.arange(len(A))
-        ids = np.flatnonzero(self.anchor_flag)
-        ii = ann.IJs[ids, 0].astype(np.int64)
-        jj = ann.IJs[ids, 1].astype(np.int64)
+        IJ = self._pairs_at(ids)
+        ii = IJ[:, 0]
+        jj = IJ[:, 1]
         i_is_anchor = col_of[ii] >= 0
         other = np.where(i_is_anchor, jj, ii)
         col = np.where(i_is_anchor, col_of[ii], col_of[jj])
-        self.exact64[ids] = np.asarray(ann.D)[other, col]
+        vals = np.asarray(ann.D)[other, col]
+        if self.sparse:
+            self.exact.add(ids, vals)
+        else:
+            self.exact64[ids] = vals
 
     # -- stage methods ------------------------------------------------------
 
@@ -605,7 +706,12 @@ class DeviceFitState:
         feats[:, 0] = np.asarray(lb)
         feats[:, 1] = np.asarray(ub)
         feats[:, 2] = np.asarray(dad)
-        feats[:, 3] = self.anchor_flag[ids]
+        if self.sparse:
+            # sampled ids are drawn from the not-computed pool, which
+            # excludes anchor pairs by construction
+            feats[:, 3] = 0.0
+        else:
+            feats[:, 3] = self.anchor_flag[ids]
         return feats
 
     def draw_sample(self, sampler, n_samples, random_seed):
@@ -615,8 +721,8 @@ class DeviceFitState:
         same per-loop seed advance)."""
         from annchor_tpu.samplers import NothingToSample
 
-        pool = int(self.ncm_host.sum())
-        if pool == 0:
+        pool = self.pool
+        if pool <= 0:
             raise NothingToSample()
         ilo, ihi, adjusted = sampler.plan(pool, n_samples)
         if adjusted != n_samples:
@@ -689,8 +795,7 @@ class DeviceFitState:
         self._started = True
         if self._override is not None:
             self.RA = _override_rows(self.RA, *self._override)
-        self.ncm_host[sample_ids] = False
-        self.exact64[sample_ids] = sample_y
+        self._store_exact(sample_ids, sample_y)
         return np.asarray(sample_pred, dtype=np.float64)
 
     CDF_GRID = 4096
@@ -723,7 +828,7 @@ class DeviceFitState:
         inner = jnp.asarray(np.asarray(bins[1:-1], dtype=np.float32))
         grid, lo, hi, inv = self._cdf_tables(error_predictor)
 
-        n_ref = int(min(n_ref, self.ncm_host.sum()))
+        n_ref = int(min(n_ref, self.pool))
         if n_ref <= 0:
             self.thresh = None
             return np.zeros(0, dtype=np.int64)
@@ -741,8 +846,7 @@ class DeviceFitState:
         idd = jnp.asarray(ids.astype(np.int32))
         vd = jnp.asarray(np.asarray(vals, np.float32))
         self.RA, self.ncm = _scatter_exact(self.RA, self.ncm, idd, vd)
-        self.ncm_host[ids] = False
-        self.exact64[ids] = vals
+        self._store_exact(ids, vals)
 
     TIGHTEN_NCOL = 2048  # pseudo-anchor columns at scale
     TIGHTEN_CMAX = 1 << 23  # contender pairs per tighten at scale
@@ -778,7 +882,12 @@ class DeviceFitState:
         pair_ids = np.asarray(pair_ids, dtype=np.int64)
         ngi = np.asarray(partners, dtype=np.int64)
         ra_sel = np.asarray(ra_sel, dtype=np.float64)
-        exact = self.exact64[np.clip(pair_ids, 0, self.m - 1)]
+        clipped = np.clip(pair_ids, 0, self.m - 1)
+        exact = (
+            self.exact.lookup(clipped)
+            if self.sparse
+            else self.exact64[clipped]
+        )
         ngd = np.where(
             (pair_ids < self.m) & ~np.isnan(exact), exact, ra_sel
         )
@@ -786,21 +895,32 @@ class DeviceFitState:
 
     # -- host materialisation (plug-in / persistence surface) ---------------
 
+    def ncm_to_host(self):
+        """Dense host not-computed mask (downloaded on demand in
+        sparse mode)."""
+        if self.ncm_host is not None:
+            return self.ncm_host
+        return np.asarray(self.ncm)
+
     def materialise(self):
         """Download the f32 state and hand back float64 host arrays
         (exact values keep full precision from the host cache)."""
         lb = np.asarray(self.lb, dtype=np.float64)
         ub = np.asarray(self.ub, dtype=np.float64)
+        if self.sparse:
+            af = np.zeros(self.m, dtype=np.float64)
+            if self._anchor_ids is not None:
+                af[self._anchor_ids] = 1.0
+        else:
+            af = self.anchor_flag.astype(np.float64)
         features = np.stack(
-            [
-                lb,
-                ub,
-                np.asarray(self.dad, dtype=np.float64),
-                self.anchor_flag.astype(np.float64),
-            ],
+            [lb, ub, np.asarray(self.dad, dtype=np.float64), af],
             axis=1,
         )
         RA = np.asarray(self.RA, dtype=np.float64)
+        if self.sparse:
+            RA[self.exact.ids] = self.exact.vals
+            return features, RA, self.ncm_to_host()
         have = ~np.isnan(self.exact64)
         RA[have] = self.exact64[have]
         return features, RA, self.ncm_host.copy()

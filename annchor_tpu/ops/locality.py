@@ -38,6 +38,22 @@ import numpy as np
 from annchor_tpu.ops.features import anchor_membership
 
 
+def _decode_packed(packed_u32, nx, row_off=0):
+    """Packed-mask block -> (rows, cols).  Native single-pass decoder
+    when the C++ library is available, numpy unpackbits otherwise."""
+    try:
+        from annchor_tpu import native
+
+        if native.available():
+            return native.unpack_pairs(packed_u32, nx, row_off)
+    except Exception:
+        pass
+    bytes_ = np.ascontiguousarray(packed_u32).view(np.uint8)
+    keep = np.unpackbits(bytes_, axis=1, bitorder="little")[:, :nx]
+    r, c = np.nonzero(keep)
+    return (r + row_off).astype(np.int32), c.astype(np.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("loc_min", "locality"))
 def _block_kth(S, S_block, loc_min: int, locality: int, mask_cols=None):
     """Per-row (loc_min+1)-th largest shared-anchor count for a block
@@ -203,9 +219,7 @@ def candidate_pairs(
                     % (_time.perf_counter() - _t0)
                 )
             return out
-        bytes_ = np.ascontiguousarray(np.asarray(packed)).view(np.uint8)
-        keep = np.unpackbits(bytes_, axis=1, bitorder="little")[:, :nx]
-        r, c = np.nonzero(keep)
+        r, c = _decode_packed(np.asarray(packed), nx)
         IJs = np.stack([r, c], axis=1).astype(np.int32)
         return IJs, np.asarray(sid), np.asarray(S), np.asarray(eff)
 
@@ -239,8 +253,15 @@ def candidate_pairs(
     else:
         eff_pad = eff_j
 
-    rows_out, cols_out = [], []
+    try:
+        from annchor_tpu import native
+
+        have_native = native.available()
+    except Exception:
+        have_native = False
+
     nblk = min(block, nx)
+    blocks = []  # (row_off, packed words) per block
     for s in range(0, nx, nblk):
         e = min(s + nblk, nx)
         Sb = S[s:e]
@@ -252,20 +273,156 @@ def candidate_pairs(
         packed = np.asarray(
             _block_keep_packed(S_pad, Sb, eb, eff_pad, np.int32(s))
         )[: e - s]  # (B, (nx+pad)/32) uint32
+        blocks.append((s, packed))
         _tick("block %d pack+download" % (s // nblk))
-        bytes_ = np.ascontiguousarray(packed).view(np.uint8)
-        keep = np.unpackbits(
-            bytes_, axis=1, bitorder="little"
-        )[:, : nx]
-        r, c = np.nonzero(keep)
-        rows_out.append((r + s).astype(np.int32))
-        cols_out.append(c.astype(np.int32))
-        _tick("block %d unpack+nonzero" % (s // nblk))
-    I = np.concatenate(rows_out) if rows_out else np.zeros(0, np.int32)
-    J = np.concatenate(cols_out) if cols_out else np.zeros(0, np.int32)
-    IJs = np.stack([I, J], axis=1)
-    _tick("concatenate")
+
+    if have_native:
+        # popcount-size once, then decode every block straight into
+        # rows of a single preallocated pair array (no concat copies)
+        counts = [native.count_pairs(p) for _, p in blocks]
+        IJs = np.empty((int(sum(counts)), 2), dtype=np.int32)
+        off = 0
+        for (s, packed), cap in zip(blocks, counts):
+            off += native.unpack_pairs_into(
+                packed, nx, s, IJs[off:off + cap]
+            )
+        IJs = IJs[:off]
+    else:
+        rows_out, cols_out = [], []
+        for s, packed in blocks:
+            r, c = _decode_packed(packed, nx, row_off=s)
+            rows_out.append(r)
+            cols_out.append(c)
+        I = np.concatenate(rows_out) if rows_out else np.zeros(0, np.int32)
+        J = np.concatenate(cols_out) if cols_out else np.zeros(0, np.int32)
+        IJs = np.stack([I, J], axis=1)
+    _tick("decode+assemble")
     return IJs, np.asarray(sid), np.asarray(S), eff
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _block_keep_total(S, S_block, eff_block, eff_all, row_off):
+    """Population count of the symmetrised keep mask for a row block
+    (first pass of the device-side pair-list builder)."""
+    counts = jax.lax.dot_general(
+        S_block, S,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    nx = counts.shape[1]
+    thr = jnp.minimum(eff_block[:, None], eff_all[None, :])
+    col_ids = jnp.arange(nx, dtype=jnp.int32)[None, :]
+    row_ids = row_off + jnp.arange(
+        counts.shape[0], dtype=jnp.int32
+    )[:, None]
+    keep = (counts >= thr) & (col_ids > row_ids)
+    # block totals are < nblk * nx < 2^31 by the caller's block choice
+    return jnp.sum(keep, dtype=jnp.int32), jnp.sum(
+        keep, axis=0, dtype=jnp.int32
+    ), jnp.sum(keep, axis=1, dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _block_keep_extract(S, S_block, eff_block, eff_all, row_off, cap: int):
+    """Pair coordinates of the keep mask for a row block, entirely on
+    device: flatnonzero with a static capacity (bucketed so only a few
+    distinct shapes ever compile).  Rows beyond the true count carry
+    fill index 0 and are sliced off by the caller."""
+    counts = jax.lax.dot_general(
+        S_block, S,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    nx = counts.shape[1]
+    thr = jnp.minimum(eff_block[:, None], eff_all[None, :])
+    col_ids = jnp.arange(nx, dtype=jnp.int32)[None, :]
+    row_ids = row_off + jnp.arange(
+        counts.shape[0], dtype=jnp.int32
+    )[:, None]
+    keep = (counts >= thr) & (col_ids > row_ids)
+    flat = jnp.flatnonzero(keep, size=cap, fill_value=0)
+    i = row_off + (flat // nx).astype(jnp.int32)
+    j = (flat % nx).astype(jnp.int32)
+    return i, j
+
+
+def _cap_bucket(n: int) -> int:
+    """Round a block pair count up to a coarse geometric grid so the
+    extract kernel compiles for only a handful of shapes."""
+    if n <= 1 << 16:
+        return 1 << 16
+    p = 1 << (int(n - 1).bit_length() - 1)
+    for c in (p + p // 4, p + p // 2, p + 3 * (p // 4), 2 * p):
+        if n <= c:
+            return c
+    return 2 * p
+
+
+def candidate_pairs_device(
+    D,
+    locality: int,
+    loc_thresh: int,
+    loc_min: int,
+    block: int = 4096,
+):
+    """`candidate_pairs`, but the pair list is built and stays on
+    device (the scale path: nothing O(m) touches the host, no mask
+    download, no pair upload).
+
+    Returns (ij_i, ij_j, m, sid, S, eff, P_cnt) where ij_i/ij_j are
+    int32 device arrays of length m with ij_i < ij_j, and P_cnt is the
+    host per-point candidate count (for the loc_min failure check and
+    incidence capacity)."""
+    nx = np.asarray(D).shape[0]
+    S, sid = anchor_membership(D, locality)
+    eff = effective_thresholds(
+        S, loc_thresh, loc_min, block=block, locality=locality
+    )
+    eff_j = jnp.asarray(eff)
+
+    # block to bound the (B, nx) counts matrix; also keeps flat block
+    # indices within int32 (B * nx < 2^31)
+    nblk = min(block, nx)
+    while nblk * nx > (1 << 31) - 1 and nblk > 256:
+        nblk //= 2
+
+    totals, pc_cols, pc_rows = [], [], []
+    blocks = []
+    for s in range(0, nx, nblk):
+        e = min(s + nblk, nx)
+        Sb = S[s:e]
+        eb = eff_j[s:e]
+        if e - s < nblk:  # uniform shapes: single compile per kernel
+            Sb = jnp.pad(Sb, ((0, nblk - (e - s)), (0, 0)))
+            eb = jnp.pad(eb, (0, nblk - (e - s)),
+                         constant_values=np.float32(np.inf))
+        t, pc_c, pc_r = _block_keep_total(S, Sb, eb, eff_j, np.int32(s))
+        blocks.append((s, Sb, eb))
+        totals.append(t)
+        pc_cols.append(pc_c)
+        pc_rows.append(pc_r)
+    totals = [int(t) for t in totals]
+    P_cnt = np.asarray(
+        sum(pc_cols[1:], pc_cols[0])
+    ) + np.concatenate([np.asarray(r) for r in pc_rows])[:nx]
+    P_cnt = P_cnt.astype(np.int32)
+
+    parts_i, parts_j = [], []
+    for (s, Sb, eb), t in zip(blocks, totals):
+        if t == 0:
+            continue
+        cap = _cap_bucket(t)
+        bi, bj = _block_keep_extract(S, Sb, eb, eff_j, np.int32(s), cap)
+        parts_i.append(bi[:t])
+        parts_j.append(bj[:t])
+    if parts_i:
+        ij_i = jnp.concatenate(parts_i)
+        ij_j = jnp.concatenate(parts_j)
+    else:
+        ij_i = jnp.zeros(0, jnp.int32)
+        ij_j = jnp.zeros(0, jnp.int32)
+    m = int(sum(totals))
+    return ij_i, ij_j, m, np.asarray(sid), np.asarray(S), eff, P_cnt
 
 
 def query_candidates(S_X, QD, locality: int, loc_thresh: int):

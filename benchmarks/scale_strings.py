@@ -104,12 +104,29 @@ def main(argv=None):
     # candidate coverage: true neighbors the locality filter admitted
     # as pairs at all (the recall ceiling; everything below it is the
     # regression/refinement ranking's miss, not the filter's)
-    IJs = np.asarray(ann.IJs)
     row_mask = np.zeros(args.n, dtype=bool)
     row_mask[rows] = True
-    touch = row_mask[IJs[:, 0]] | row_mask[IJs[:, 1]]
+    if getattr(ann, "_ij_dev", None) is not None:
+        # device-resident pair list: filter on device, download only
+        # the rows that touch the checked points
+        import jax.numpy as jnp
+
+        ij_i, ij_j, m_pairs = ann._ij_dev
+        rm = jnp.asarray(row_mask)
+        tm = jnp.take(rm, ij_i) | jnp.take(rm, ij_j)
+        cnt = int(jnp.sum(tm))
+        ids = jnp.flatnonzero(tm, size=cnt)
+        IJt = np.stack(
+            [np.asarray(jnp.take(ij_i, ids)),
+             np.asarray(jnp.take(ij_j, ids))], axis=1,
+        )
+    else:
+        IJs = np.asarray(ann.IJs)
+        m_pairs = IJs.shape[0]
+        touch = row_mask[IJs[:, 0]] | row_mask[IJs[:, 1]]
+        IJt = IJs[touch]
     cand = {int(r): set() for r in rows}
-    for i, j in IJs[touch]:
+    for i, j in IJt:
         if row_mask[i]:
             cand[int(i)].add(int(j))
         if row_mask[j]:
@@ -138,7 +155,7 @@ def main(argv=None):
         "p_work": args.p_work,
         "niters": args.niters,
         "evals": int(ann.evals),
-        "pairs_tracked": int(ann.IJs.shape[0]),
+        "pairs_tracked": int(m_pairs),
         "sampled_recall": round(hits / total, 4),
         "candidate_coverage": round(covered / total, 4),
         "check_rows": len(rows),

@@ -1,0 +1,96 @@
+"""Scale-path tests: device-built pair lists and sparse-host state.
+
+Large fits (nx > 4096, default strategies) build the candidate pair
+list on device (`ops.locality.candidate_pairs_device`) and keep all
+O(m) state off the host (`DeviceFitState` sparse mode + `_ExactStore`).
+These tests pin that path's equivalence to the host pipeline at small
+sizes via the ANNCHOR_TPU_FORCE_SPARSE hook.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import annchor_tpu as at
+from annchor_tpu.ops.device_pipeline import _ExactStore
+from annchor_tpu.ops.locality import candidate_pairs, candidate_pairs_device
+
+
+def _pairs_key(a):
+    return np.sort(np.ascontiguousarray(a).view("i4,i4"), axis=0)
+
+
+@pytest.mark.parametrize("nx,block", [(400, 4096), (400, 128), (900, 256)])
+def test_candidate_pairs_device_matches_host(rng, nx, block):
+    D = rng.random((nx, 16))
+    IJs, sid, S, eff = candidate_pairs(D, 5, 2, 25)
+    ij_i, ij_j, m, sid2, S2, eff2, P_cnt = candidate_pairs_device(
+        D, 5, 2, 25, block=block
+    )
+    IJd = np.stack([np.asarray(ij_i), np.asarray(ij_j)], axis=1)
+    assert m == IJs.shape[0]
+    assert np.array_equal(_pairs_key(IJs), _pairs_key(IJd))
+    assert np.allclose(eff, eff2)
+    pc = (
+        np.bincount(IJs[:, 0], minlength=nx)
+        + np.bincount(IJs[:, 1], minlength=nx)
+    ).astype(np.int32)
+    assert np.array_equal(pc, P_cnt)
+
+
+def test_exact_store_roundtrip(rng):
+    s = _ExactStore()
+    assert np.all(np.isnan(s.lookup(np.array([0, 5]))))
+    ids1 = np.array([10, 3, 7])
+    s.add(ids1, np.array([1.0, 2.0, 3.0]))
+    s.add(np.array([5, 20]), np.array([4.0, 5.0]))
+    got = s.lookup(np.array([3, 5, 7, 10, 20, 11]))
+    assert np.allclose(got[:5], [2.0, 4.0, 3.0, 1.0, 5.0])
+    assert np.isnan(got[5])
+    # 2-d lookup (the knn assembly shape)
+    got2 = s.lookup(np.array([[3, 11], [20, 5]]))
+    assert got2.shape == (2, 2)
+    assert np.allclose(got2[[0, 1], [0, 1]], [2.0, 4.0])
+    assert np.isnan(got2[0, 1])
+    # ids stay sorted for searchsorted correctness
+    assert np.all(np.diff(s.ids) > 0)
+
+
+@pytest.fixture()
+def _force_sparse():
+    os.environ["ANNCHOR_TPU_FORCE_SPARSE"] = "1"
+    yield
+    os.environ.pop("ANNCHOR_TPU_FORCE_SPARSE", None)
+
+
+def test_sparse_fit_matches_host_pipeline(blobs, _force_sparse):
+    """Forced-sparse fit on blobs: same accuracy contract as the
+    dense device pipeline (0 errors vs exact) and working lazy host
+    materialisation."""
+    X, _ = blobs
+    ann = at.Annchor(
+        X, "euclidean", n_anchors=15, n_neighbors=10,
+        p_work=0.2, random_seed=42,
+    )
+    ann.fit()
+    assert ann._ij_dev is not None
+    assert ann._dev is not None and ann._dev.sparse
+
+    bf = at.BruteForce(X, "euclidean")
+    bf.fit()
+    err = at.compare_neighbor_graphs(
+        ann.neighbor_graph, bf.neighbor_graph, 10
+    )
+    assert err == 0
+
+    # lazy host surfaces stay coherent in sparse mode
+    IJs = ann.IJs
+    assert IJs.shape[1] == 2 and (IJs[:, 0] < IJs[:, 1]).all()
+    feats = ann.features  # materialises, drops _dev
+    assert feats.shape == (IJs.shape[0], 4)
+    ncm = ann.not_computed_mask
+    RA = ann.RefineApprox
+    # computed pairs carry exact distances in the materialised state
+    d = np.linalg.norm(X[IJs[~ncm, 0]] - X[IJs[~ncm, 1]], axis=1)
+    assert np.allclose(RA[~ncm], d, atol=1e-5)
