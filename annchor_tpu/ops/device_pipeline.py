@@ -318,6 +318,14 @@ def _override_rows(RA, ids, vals):
     return RA.at[ids].set(vals)
 
 
+def _row_block(nx: int, max_deg: int, budget: int = 1 << 27) -> int:
+    """Row-block size keeping (block, max_deg) f32 temps under
+    ~budget bytes — the dense incidence working set OOMs at
+    nx * max_deg > ~10^9 otherwise."""
+    b = max(256, budget // (4 * max(max_deg, 1)))
+    return int(min(nx, b))
+
+
 @functools.partial(
     jax.jit, static_argnames=("nn", "n_ref", "guarantee", "nmin")
 )
@@ -336,30 +344,57 @@ def _select(
     The per-bin residual CDFs arrive pre-sampled on a fixed grid
     (cdf_grid (K, G), domain [cdf_lo, cdf_hi] per bin): one gather from
     a VMEM-sized table replaces a per-pair binary search into the raw
-    residual arrays, which is gather-bound and ~6x slower here."""
-    m = RA.shape[0]
-    RA_pad = jnp.concatenate([RA, jnp.array([F32_INF])])
-    vals = jnp.take(RA_pad, P_idx, axis=0)  # (nx, max_deg)
-    kk = min(nn, vals.shape[1] - 1)
-    neg_topk, _ = jax.lax.top_k(-vals, kk + 1)
-    thresh = -neg_topk[:, kk]
+    residual arrays, which is gather-bound and ~6x slower here.
 
+    The per-point passes over the incidence matrix run in row blocks
+    (clamped dynamic slices; the tail block overlaps, which is safe —
+    identical values are rewritten and the mark scatter is a max):
+    the dense (nx, max_deg) gather temps would exceed HBM at
+    nx >= ~5 * 10^4."""
+    m = RA.shape[0]
+    nx, max_deg = P_idx.shape
+    RA_pad = jnp.concatenate([RA, jnp.array([F32_INF])])
+    ncm_ext = jnp.concatenate([ncm, jnp.array([False])])
+    kk = min(nn, max_deg - 1)
+    blk = _row_block(nx, max_deg)
+    nblk = (nx + blk - 1) // blk
+
+    def thresh_body(t, acc):
+        thresh_acc, marks_acc = acc
+        start = jnp.minimum(t * blk, nx - blk)
+        rows = jax.lax.dynamic_slice(P_idx, (start, 0), (blk, max_deg))
+        vals = jnp.take(RA_pad, rows, axis=0)
+        neg_topk, _ = jax.lax.top_k(-vals, kk + 1)
+        thresh_acc = jax.lax.dynamic_update_slice(
+            thresh_acc, -neg_topk[:, kk], (start,)
+        )
+        if guarantee:
+            # force >= nmin computed-or-forced pairs per point
+            # (reference utils.py:606-621): mark each point's smallest
+            # uncomputed estimates so their margin becomes huge
+            ncm_rows = jnp.take(ncm_ext, rows)
+            todo_vals = jnp.where(ncm_rows, vals, F32_INF)
+            n_computed = jnp.sum((~ncm_rows) & (rows < m), axis=1)
+            n_todo = jnp.clip(nmin - n_computed, 0, max_deg - 1)
+            svals = jnp.sort(todo_vals, axis=1)
+            kth = jnp.take_along_axis(svals, n_todo[:, None], axis=1)
+            mark_rows = (
+                (todo_vals < kth) & ncm_rows & (n_todo[:, None] > 0)
+            )
+            marks_acc = marks_acc.at[rows.reshape(-1)].max(
+                mark_rows.reshape(-1)
+            )
+        return thresh_acc, marks_acc
+
+    thresh, marks = jax.lax.fori_loop(
+        0, nblk, thresh_body,
+        (
+            jnp.zeros(nx, dtype=jnp.float32),
+            jnp.zeros(m + 1 if guarantee else 1, dtype=bool),
+        ),
+    )
     RAg = RA
     if guarantee:
-        # force >= nmin computed-or-forced pairs per point
-        # (reference utils.py:606-621): mark each point's smallest
-        # uncomputed estimates so their margin becomes huge
-        ncm_pad = jnp.take(
-            jnp.concatenate([ncm, jnp.array([False])]), P_idx, axis=0
-        )
-        todo_vals = jnp.where(ncm_pad, vals, F32_INF)
-        n_computed = jnp.sum((~ncm_pad) & (P_idx < m), axis=1)
-        n_todo = jnp.clip(nmin - n_computed, 0, todo_vals.shape[1] - 1)
-        svals = jnp.sort(todo_vals, axis=1)
-        kth = jnp.take_along_axis(svals, n_todo[:, None], axis=1)
-        mark_rows = (todo_vals < kth) & ncm_pad & (n_todo[:, None] > 0)
-        marks = jnp.zeros(m + 1, dtype=bool)
-        marks = marks.at[P_idx.reshape(-1)].max(mark_rows.reshape(-1))
         RAg = jnp.where(marks[:m], jnp.float32(-1.0), RA)
 
     margin = (
@@ -461,28 +496,51 @@ def _knn(RA, ncm, P_idx, ij_i, ij_j, nn: int):
     uncomputed pairs carry a +rowmax penalty so computed pairs win.
     Returns (pair ids (nx, nn), neighbour indices, RA values) — the
     pair-to-neighbour mapping happens on device so the host never
-    needs the incidence matrix."""
+    needs the incidence matrix.  Row-blocked like _select: the dense
+    (nx, max_deg) temps OOM at large nx."""
     m = RA.shape[0]
-    nx = P_idx.shape[0]
+    nx, max_deg = P_idx.shape
     RA_pad = jnp.concatenate([RA, jnp.array([F32_INF])])
-    vals = jnp.take(RA_pad, P_idx, axis=0)
-    ncm_pad = jnp.take(
-        jnp.concatenate([ncm, jnp.array([True])]), P_idx, axis=0
-    )
-    valid = P_idx < m
-    mx = jnp.max(jnp.where(valid, vals, -F32_INF), axis=1, keepdims=True)
-    dpen = jnp.where(valid, vals + jnp.where(ncm_pad, mx, 0.0), F32_INF)
-    _, cols = jax.lax.top_k(-dpen, nn)
-    ra_sel = jnp.take_along_axis(vals, cols, axis=1)
-    pair_ids = jnp.take_along_axis(P_idx, cols, axis=1)
+    ncm_ext = jnp.concatenate([ncm, jnp.array([True])])
     pair_sum = jnp.concatenate(
         [(ij_i + ij_j).astype(jnp.int32), jnp.zeros(1, jnp.int32)]
     )
-    partners = jnp.take(pair_sum, pair_ids) - jnp.arange(
-        nx, dtype=jnp.int32
-    )[:, None]
-    partners = jnp.where(pair_ids < m, partners, -1)
-    return pair_ids, partners, ra_sel
+    blk = _row_block(nx, max_deg)
+    nblk = (nx + blk - 1) // blk
+
+    def body(t, acc):
+        ids_acc, part_acc, ra_acc = acc
+        start = jnp.minimum(t * blk, nx - blk)
+        rows = jax.lax.dynamic_slice(P_idx, (start, 0), (blk, max_deg))
+        vals = jnp.take(RA_pad, rows, axis=0)
+        ncm_rows = jnp.take(ncm_ext, rows)
+        valid = rows < m
+        mx = jnp.max(
+            jnp.where(valid, vals, -F32_INF), axis=1, keepdims=True
+        )
+        dpen = jnp.where(
+            valid, vals + jnp.where(ncm_rows, mx, 0.0), F32_INF
+        )
+        _, cols = jax.lax.top_k(-dpen, nn)
+        ra_sel = jnp.take_along_axis(vals, cols, axis=1)
+        pair_ids = jnp.take_along_axis(rows, cols, axis=1)
+        partners = jnp.take(pair_sum, pair_ids) - (
+            start + jnp.arange(blk, dtype=jnp.int32)
+        )[:, None]
+        partners = jnp.where(pair_ids < m, partners, -1)
+        ids_acc = jax.lax.dynamic_update_slice(
+            ids_acc, pair_ids, (start, 0)
+        )
+        part_acc = jax.lax.dynamic_update_slice(
+            part_acc, partners, (start, 0)
+        )
+        ra_acc = jax.lax.dynamic_update_slice(ra_acc, ra_sel, (start, 0))
+        return ids_acc, part_acc, ra_acc
+
+    ids0 = jnp.zeros((nx, nn), dtype=P_idx.dtype)
+    part0 = jnp.zeros((nx, nn), dtype=jnp.int32)
+    ra0 = jnp.zeros((nx, nn), dtype=jnp.float32)
+    return jax.lax.fori_loop(0, nblk, body, (ids0, part0, ra0))
 
 
 @jax.jit

@@ -54,8 +54,15 @@ def main(exact: bool = False):
         random_seed=42,
     )
 
+    pad = None
+    for a in sys.argv[1:]:
+        if a.startswith("--pad="):
+            pad = int(a.split("=", 1)[1])
+
     def build():
         ann = at.Annchor(X, **kwargs)
+        if pad is not None:
+            ann.certify_pad = pad
         t0 = time.perf_counter()
         ann.fit()
         return ann, time.perf_counter() - t0

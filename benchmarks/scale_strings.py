@@ -48,6 +48,7 @@ def main(argv=None):
     # at scale the locality filter must be selective or the candidate
     # pair set explodes (the reference docs tune the same knobs)
     ap.add_argument("--loc-thresh", type=int, default=2)
+    ap.add_argument("--locality", type=int, default=5)
     # the reference CI uses niters=4 for its string workload
     # (/root/reference/annchor/tests/test_annchor.py:71-102); more
     # iterations re-target the eval budget as the error model improves
@@ -81,6 +82,7 @@ def main(argv=None):
             n_samples=args.n_samples,
             p_work=args.p_work,
             loc_thresh=args.loc_thresh,
+            locality=args.locality,
             niters=args.niters,
             random_seed=args.seed,
             verbose=verbose,
@@ -156,6 +158,7 @@ def main(argv=None):
         "niters": args.niters,
         "evals": int(ann.evals),
         "pairs_tracked": int(m_pairs),
+        "max_deg": int(np.asarray(ann.P_cnt).max()),
         "sampled_recall": round(hits / total, 4),
         "candidate_coverage": round(covered / total, 4),
         "check_rows": len(rows),
