@@ -226,6 +226,38 @@ def _pidx_from_pairs(ij_i, ij_j, nx: int, max_deg: int):
     return P.at[se, cols].set(jnp.take(pair_ids, order), mode="drop")
 
 
+@functools.partial(jax.jit, static_argnames=("nx", "max_deg"))
+def _pidx_from_pairs_capped(ij_i, ij_j, lb, nx: int, max_deg: int):
+    """Degree-capped incidence matrix: each point lists at most
+    max_deg candidate pairs, kept in ascending lower-bound order so a
+    truncated hub row retains its most promising candidates.  Every
+    pair still exists in the flat pair state (bounds, regression,
+    selection by probability, tightening all see it); truncation only
+    affects the per-point threshold / guarantee / graph-assembly
+    passes, and a dropped entry usually survives in its partner's
+    row.  Needed because hub degrees at large nx would otherwise put
+    the (nx, max_deg) matrix at > 4 GB resident."""
+    m = ij_i.shape[0]
+    endpoints = jnp.concatenate([ij_i, ij_j])
+    pair_ids = jnp.tile(jnp.arange(m, dtype=jnp.int32), 2)
+    lb2 = jnp.tile(lb, 2)
+    o1 = jnp.argsort(lb2, stable=True)
+    o2 = jnp.argsort(jnp.take(endpoints, o1), stable=True)
+    order = jnp.take(o1, o2)  # grouped by endpoint, lb-ascending within
+    se = jnp.take(endpoints, order)
+    counts = jnp.zeros(nx, dtype=jnp.int32).at[endpoints].add(1, mode="drop")
+    starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]]
+    )
+    cols = jnp.arange(2 * m, dtype=jnp.int32) - jnp.take(starts, se)
+    P = jnp.full((nx, max_deg), m, dtype=jnp.int32)
+    return P.at[se, cols].set(jnp.take(pair_ids, order), mode="drop")
+
+
+# resident (nx, max_deg) incidence budget: 2 GB of int32
+PIDX_BUDGET_ELEMS = 1 << 29
+
+
 @functools.partial(jax.jit, static_argnames=("ncol", "cmax", "chunk"))
 def _tighten_cols(
     ij_i, ij_j, RA, ncm, lb, ub, thresh,
@@ -633,20 +665,6 @@ class DeviceFitState:
             self.ij_j = jnp.asarray(ann.IJs[:, 1].astype(np.int32))
             jax.block_until_ready((self.ij_i, self.ij_j))
         _tick("ij upload")
-        if self.m == nx * (nx - 1) // 2 and not self.sparse:
-            # all-pairs candidate set: build the incidence matrix on
-            # device from its closed form instead of uploading it
-            self.P_idx_d = _pidx_full_dev(nx)
-        elif self.sparse or getattr(ann, "_P_idx", None) is None:
-            # large fits skip the host incidence matrix entirely:
-            # build it on device by counting sort over the pair list
-            max_deg = int(np.asarray(ann.P_cnt).max())
-            self.P_idx_d = _pidx_from_pairs(
-                self.ij_i, self.ij_j, nx, max_deg
-            )
-        else:
-            self.P_idx_d = jnp.asarray(ann.P_idx)
-        _tick("P_idx build")
         D32 = jnp.asarray(np.asarray(ann.D, dtype=np.float32))
         self.lb, self.ub, self.dad = _features_init(
             D32, self.ij_i, self.ij_j
@@ -654,6 +672,28 @@ class DeviceFitState:
         if _dbg:
             jax.block_until_ready((self.lb, self.ub, self.dad))
         _tick("features init")
+        if self.m == nx * (nx - 1) // 2 and not self.sparse:
+            # all-pairs candidate set: build the incidence matrix on
+            # device from its closed form instead of uploading it
+            self.P_idx_d = _pidx_full_dev(nx)
+        elif self.sparse or getattr(ann, "_P_idx", None) is None:
+            # large fits skip the host incidence matrix entirely:
+            # build it on device by counting sort over the pair list;
+            # hub degrees are capped to keep the matrix ~2 GB, keeping
+            # each point's lowest-lower-bound candidates
+            max_deg = int(np.asarray(ann.P_cnt).max())
+            cap = max(512, PIDX_BUDGET_ELEMS // max(nx, 1))
+            if max_deg > cap:
+                self.P_idx_d = _pidx_from_pairs_capped(
+                    self.ij_i, self.ij_j, self.lb, nx, cap
+                )
+            else:
+                self.P_idx_d = _pidx_from_pairs(
+                    self.ij_i, self.ij_j, nx, max_deg
+                )
+        else:
+            self.P_idx_d = jnp.asarray(ann.P_idx)
+        _tick("P_idx build")
 
         # anchor flag / not-computed mask / exact float64 values:
         # dense host mirrors on small fits, device + sparse store at
