@@ -965,6 +965,13 @@ class DeviceFitState:
             min(self.TIGHTEN_NCOL, nx),
             int(min(self.TIGHTEN_CMAX, self.m)),
         )
+        if self.sparse:
+            # per-iteration barrier: without it the host races ahead
+            # and several generations of the O(m) f32 state stay live
+            # in HBM at once (observed runtime OOM at m ~ 10^8).  A
+            # 1-element transfer forces the sync — block_until_ready
+            # does not reliably block through remote-TPU relays.
+            np.asarray(self.lb[:1])
 
     def finalise(self):
         self.tighten()
