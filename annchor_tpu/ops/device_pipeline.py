@@ -261,8 +261,11 @@ PIDX_BUDGET_ELEMS = 1 << 29
 @functools.partial(jax.jit, static_argnames=("ncol", "cmax", "chunk"))
 def _tighten_cols(
     ij_i, ij_j, RA, ncm, lb, ub, thresh,
-    ncol: int, cmax: int, chunk: int = 262144,
+    ncol: int, cmax: int, chunk: int = 65536,
 ):
+    # chunk * ncol f32 gathers are the live working set: 0.5 GB per
+    # operand at the defaults — 4x that OOMed alongside the resident
+    # state at m ~ 10^8
     """Column-subsampled bound tightening for large nx, one dispatch.
 
     The full tropical self-product needs an (nx, nx) matrix; beyond
@@ -666,8 +669,10 @@ class DeviceFitState:
             jax.block_until_ready((self.ij_i, self.ij_j))
         _tick("ij upload")
         D32 = jnp.asarray(np.asarray(ann.D, dtype=np.float32))
+        # keep the (chunk, na) gather working set ~0.5 GB
+        fchunk = max(1 << 18, (1 << 27) // max(D32.shape[1], 1))
         self.lb, self.ub, self.dad = _features_init(
-            D32, self.ij_i, self.ij_j
+            D32, self.ij_i, self.ij_j, chunk=fchunk
         )
         if _dbg:
             jax.block_until_ready((self.lb, self.ub, self.dad))
