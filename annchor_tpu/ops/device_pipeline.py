@@ -687,7 +687,12 @@ class DeviceFitState:
             # hub degrees are capped to keep the matrix ~2 GB, keeping
             # each point's lowest-lower-bound candidates
             max_deg = int(np.asarray(ann.P_cnt).max())
-            cap = max(512, PIDX_BUDGET_ELEMS // max(nx, 1))
+            budget = int(
+                os.environ.get(
+                    "ANNCHOR_TPU_PIDX_BUDGET", PIDX_BUDGET_ELEMS
+                )
+            )
+            cap = max(2 * ann.n_neighbors, budget // max(nx, 1))
             if max_deg > cap:
                 self.P_idx_d = _pidx_from_pairs_capped(
                     self.ij_i, self.ij_j, self.lb, nx, cap

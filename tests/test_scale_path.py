@@ -64,6 +64,29 @@ def _force_sparse():
     os.environ.pop("ANNCHOR_TPU_FORCE_SPARSE", None)
 
 
+def test_capped_incidence_fit(blobs, _force_sparse):
+    """Forcing a tiny incidence budget exercises the degree-capped
+    P_idx builder end-to-end; accuracy stays within a small budget
+    (hub rows keep their lb-smallest candidates)."""
+    X, _ = blobs
+    os.environ["ANNCHOR_TPU_PIDX_BUDGET"] = str(64 * len(X))
+    try:
+        ann = at.Annchor(
+            X, "euclidean", n_anchors=15, n_neighbors=10,
+            p_work=0.2, random_seed=42,
+        )
+        ann.fit()
+        assert ann._dev.P_idx_d.shape[1] <= 64
+        bf = at.BruteForce(X, "euclidean")
+        bf.fit()
+        err = at.compare_neighbor_graphs(
+            ann.neighbor_graph, bf.neighbor_graph, 10
+        )
+        assert err <= 5
+    finally:
+        os.environ.pop("ANNCHOR_TPU_PIDX_BUDGET", None)
+
+
 def test_sparse_fit_matches_host_pipeline(blobs, _force_sparse):
     """Forced-sparse fit on blobs: same accuracy contract as the
     dense device pipeline (0 errors vs exact) and working lazy host
