@@ -364,10 +364,57 @@ def _myers_maxmin(peq, la_all, ids, first_ix, na: int):
     return A, D
 
 
+@functools.partial(jax.jit, static_argnames=("steps", "na"))
+def _myers_maxmin_seg(peq, la_all, ids, D, A, ix, i0, steps: int, na: int):
+    """A `steps`-anchor segment of the max-min loop (same body as
+    _myers_maxmin, carry in/out).  i0 is traced so one compile serves
+    every segment."""
+    n = peq.shape[0]
+    row_ids = jnp.arange(na, dtype=jnp.int32)
+
+    def body(i, carry):
+        D, A, ix = carry
+        col = _myers_column(
+            peq, la_all, jnp.take(ids, ix, axis=0), jnp.take(la_all, ix)
+        )
+        D = jax.lax.dynamic_update_slice_in_dim(D, col[None, :], i, axis=0)
+        A = A.at[i].set(ix)
+        live = (row_ids >= 1) & (row_ids <= i)
+        minD = jnp.min(
+            jnp.where(live[:, None], D, np.int32(2**30)), axis=0
+        )
+        nxt = jnp.where(i == 0, jnp.argmax(col), jnp.argmax(minD))
+        return D, A, nxt.astype(jnp.int32)
+
+    return jax.lax.fori_loop(i0, i0 + steps, body, (D, A, ix))
+
+
+# one fused program above this size crashes the remote TPU worker
+# (observed at nx = 10^5, na = 96: a single ~2-minute dispatch);
+# segmented dispatches of a few anchors each behave identically
+MAXMIN_FUSED_NX = 65536
+
+
 def myers_maxmin(enc: "MyersEncoding", na: int, first_ix: int):
     """Host wrapper for the fused max-min anchor kernel."""
     peq, _, ids, la = enc.device_arrays()
-    A, D = _myers_maxmin(peq, la, ids, int(first_ix), na)
+    n = peq.shape[0]
+    if n <= MAXMIN_FUSED_NX:
+        A, D = _myers_maxmin(peq, la, ids, int(first_ix), na)
+        return np.asarray(A), np.asarray(D, dtype=np.float64).T
+    # segmented: same loop body, several dispatches
+    steps = max(1, (8 * MAXMIN_FUSED_NX) // n)
+    D = jnp.zeros((na, n), dtype=jnp.int32)
+    A = jnp.zeros((na,), dtype=jnp.int32)
+    ix = jnp.asarray(int(first_ix), jnp.int32)
+    i0 = 0
+    while i0 < na:
+        s = min(steps, na - i0)
+        D, A, ix = _myers_maxmin_seg(
+            peq, la, ids, D, A, ix, jnp.asarray(i0, jnp.int32), s, na
+        )
+        np.asarray(A[:1])  # sync: bound per-dispatch runtime
+        i0 += s
     return np.asarray(A), np.asarray(D, dtype=np.float64).T
 
 
