@@ -302,8 +302,9 @@ def _tighten_cols(
     E = E.at[ij_i, cj].set(RA, mode="drop")
     V = V.at[ij_j, ci].set(True, mode="drop")
     V = V.at[ij_i, cj].set(True, mode="drop")
-    Einf = jnp.where(V, E, F32_INF)
-    Ezero = jnp.where(V, E, jnp.float32(0))
+    # the inf/zero-masked variants are derived inside each chunk from
+    # (E, V) gathers — materialising them as full (nx, ncol) arrays
+    # costs 2 more resident copies, which OOMs at nx = 1e5
 
     # contender pair ids (padded with m = sentinel)
     cap = jnp.maximum(jnp.take(thresh, ij_i), jnp.take(thresh, ij_j))
@@ -323,16 +324,17 @@ def _tighten_cols(
         sel = jax.lax.dynamic_slice(ids, (t * chunk,), (chunk,))
         gi = jnp.take(ij_i_pad, sel)
         gj = jnp.take(ij_j_pad, sel)
-        Ei = jnp.take(Ezero, gi, axis=0)
-        Ej = jnp.take(Ezero, gj, axis=0)
-        both = jnp.take(V, gi, axis=0) & jnp.take(V, gj, axis=0)
+        Ei = jnp.take(E, gi, axis=0)
+        Ej = jnp.take(E, gj, axis=0)
+        Vi = jnp.take(V, gi, axis=0)
+        Vj = jnp.take(V, gj, axis=0)
+        both = Vi & Vj
+        Ei = jnp.where(Vi, Ei, F32_INF)
+        Ej = jnp.where(Vj, Ej, F32_INF)
         lb_new = jnp.max(
             jnp.where(both, jnp.abs(Ei - Ej), 0.0), axis=1
         )
-        ub_new = jnp.min(
-            jnp.take(Einf, gi, axis=0) + jnp.take(Einf, gj, axis=0),
-            axis=1,
-        )
+        ub_new = jnp.min(Ei + Ej, axis=1)
         lb_acc = lb_acc.at[sel].max(lb_new, mode="drop")
         ub_acc = ub_acc.at[sel].min(ub_new, mode="drop")
         return lb_acc, ub_acc
