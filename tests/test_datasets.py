@@ -76,3 +76,62 @@ def test_load_digits():
     ngi, ngd = data["neighbor_graph"]
     assert ngi.shape[0] == 1797
     assert (np.diff(ngd, axis=1) >= -1e-9).all()
+
+
+def test_make_digits_large():
+    from annchor_tpu.datasets import make_digits_large
+
+    X, y = make_digits_large()
+    assert X.shape == (5620, 64) and y.shape == (5620,)
+    # first 1797 rows are the untouched sklearn test split
+    from sklearn.datasets import load_digits as _skl
+
+    skl = _skl()
+    assert np.array_equal(X[:1797], skl.data.astype(np.float64))
+    assert np.array_equal(y[:1797], skl.target)
+    # augmented rows: valid intensity range, non-degenerate mass,
+    # label distribution matches the base split's classes
+    aug = X[1797:]
+    assert aug.min() >= 0 and aug.max() <= 16
+    assert (aug.sum(axis=1) > 50).all()
+    assert set(np.unique(y[1797:])) <= set(np.unique(y[:1797]))
+    # deterministic
+    X2, y2 = make_digits_large()
+    assert np.array_equal(X, X2) and np.array_equal(y, y2)
+
+
+def test_load_digits_large_cached_gt():
+    from annchor_tpu.datasets import load_digits_large
+
+    d = load_digits_large()  # GT npz is vendored; no regeneration
+    ngi, ngd = d["neighbor_graph"]
+    assert d["X"].shape == (5620, 64)
+    assert ngi.shape == (5620, 100) and ngd.shape == (5620, 100)
+    assert (np.diff(ngd, axis=1) >= -1e-9).all()
+    # spot-check one GT distance against the exact solver
+    from annchor_tpu import native
+
+    i, j = int(ngi[0, 1]), 0
+    want = ngd[0, 1]
+    got = native.emd_single(d["X"][j], d["X"][i], d["cost_matrix"])
+    assert abs(got - want) < 1e-8
+
+
+def test_native_unpack_pairs_roundtrip(rng):
+    from annchor_tpu import native
+
+    nx = 200
+    keep = rng.random((9, 224)) < 0.2
+    keep[:, nx:] = False
+    words = np.packbits(
+        keep.astype(np.uint8), axis=1, bitorder="little"
+    ).view(np.uint32).reshape(9, -1)
+    i, j = native.unpack_pairs(words, nx, row_off=3)
+    r, c = np.nonzero(keep[:, :nx])
+    assert np.array_equal(i, (r + 3).astype(np.int32))
+    assert np.array_equal(j, c.astype(np.int32))
+    assert native.count_pairs(words) == keep.sum()
+    out = np.empty((keep.sum(), 2), dtype=np.int32)
+    n = native.unpack_pairs_into(words, nx, 3, out)
+    assert n == keep.sum()
+    assert np.array_equal(out[:, 0], i) and np.array_equal(out[:, 1], j)
