@@ -117,9 +117,11 @@ def test_load_digits_large_cached_gt():
     assert abs(got - want) < 1e-8
 
 
-def test_native_unpack_pairs_roundtrip(rng):
+def test_native_unpack_pairs_roundtrip():
     from annchor_tpu import native
 
+    rng = np.random.default_rng(7)  # local: keep the shared session
+    # rng's stream position stable for order-sensitive tests
     nx = 200
     keep = rng.random((9, 224)) < 0.2
     keep[:, nx:] = False

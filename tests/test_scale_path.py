@@ -22,7 +22,11 @@ def _pairs_key(a):
 
 
 @pytest.mark.parametrize("nx,block", [(400, 4096), (400, 128), (900, 256)])
-def test_candidate_pairs_device_matches_host(rng, nx, block):
+def test_candidate_pairs_device_matches_host(nx, block):
+    # local rng: the shared session fixture's stream position is
+    # order-dependent, and downstream tests assert near-threshold
+    # budgets on draws from it
+    rng = np.random.default_rng(nx * 1000 + block)
     D = rng.random((nx, 16))
     IJs, sid, S, eff = candidate_pairs(D, 5, 2, 25)
     ij_i, ij_j, m, sid2, S2, eff2, P_cnt = candidate_pairs_device(
@@ -39,7 +43,7 @@ def test_candidate_pairs_device_matches_host(rng, nx, block):
     assert np.array_equal(pc, P_cnt)
 
 
-def test_exact_store_roundtrip(rng):
+def test_exact_store_roundtrip():
     s = _ExactStore()
     assert np.all(np.isnan(s.lookup(np.array([0, 5]))))
     ids1 = np.array([10, 3, 7])
