@@ -357,7 +357,8 @@ class Annchor:
                 ij_i, ij_j, m,
                 self.sid, self.S, self.loc_eff, self.P_cnt,
             ) = candidate_pairs_device(
-                self.D, self.locality, self.loc_thresh, self.loc_min
+                self.D, self.locality, self.loc_thresh, self.loc_min,
+                verbose=self.verbose,
             )
             self._IJs = None
             self._ij_dev = (ij_i, ij_j, m)

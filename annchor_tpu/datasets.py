@@ -3,12 +3,15 @@
 Each loader returns {'X', 'y', 'neighbor_graph'} where neighbor_graph
 is the exact 100-NN (indices, distances) ground truth.
 
-Unlike the reference, nothing binary is vendored: the digit set is
+Unlike the reference, datasets are not vendored: the digit set is
 regenerated from sklearn (identical to the reference bundle — same UCI
 test split, same 8x8-grid euclidean cost matrix), the graph data from a
 seeded random geometric construction, and ground-truth graphs are
 computed once with this package's own exact kernels and cached under
-ANNCHOR_TPU_CACHE (default: <package>/data).  When the original
+ANNCHOR_TPU_CACHE (default: <package>/data).  One binary artifact IS
+vendored: data/digits_large_gt.npz, the exact-EMD 100-NN ground truth
+for the regenerated digits_large stand-in (~25 min to recompute), with
+a hash of the images it was computed from for staleness detection.  When the original
 reference data directory is available (env ANNCHOR_TPU_REFDATA), its
 string set and precomputed graphs are used directly, which is what the
 parity tests/benchmarks do.
@@ -43,6 +46,16 @@ def grid_cost_matrix(h: int = 8, w: int = 8) -> np.ndarray:
     return np.linalg.norm(
         xy[:, None, :] - xy[None, :, :], axis=-1
     ).astype(np.float64)
+
+
+def _digest(X: np.ndarray) -> str:
+    """Stable content hash of a float array (staleness check for
+    cached ground truth keyed to regenerated data)."""
+    import hashlib
+
+    return hashlib.sha256(
+        np.ascontiguousarray(X, dtype=np.float64).tobytes()
+    ).hexdigest()
 
 
 def _knn_from_dense(D: np.ndarray, k: int = 100):
@@ -259,19 +272,30 @@ def load_digits_large(k: int = 100):
         return {
             "X": d["X"],
             "y": d["y"],
-            "neighbor_graph": (d["neighbor_graph"][0], d["neighbor_graph"][1]),
+            "neighbor_graph": (
+                d["neighbor_graph"][0][:, :k],
+                d["neighbor_graph"][1][:, :k],
+            ),
             "cost_matrix": M,
         }
     X, y = make_digits_large()
+    xh = _digest(X)
     cache = os.path.join(_cache_dir(), "digits_large_gt.npz")
+    stale = False
     if os.path.exists(cache):
         g = np.load(cache)
-        ng = (g["ngi"][:, :k], g["ngd"][:, :k])
-    else:
+        # numpy does not guarantee Generator bit-stream stability across
+        # versions: verify the cached GT still matches the regenerated
+        # images, else silently-wrong benchmark error counts would follow
+        stale = "xhash" not in g or str(g["xhash"]) != xh
+        if not stale:
+            ng = (g["ngi"][:, :k], g["ngd"][:, :k])
+    if stale or not os.path.exists(cache):
         print(
             "load_digits_large: reference LFS blob unavailable; "
             "regenerating a synthetic 5620-image stand-in and its "
             "exact-EMD ground truth (one-off, ~25 min)..."
+            + (" [cached GT was stale: image hash mismatch]" if stale else "")
         )
         from annchor_tpu import native
 
@@ -282,7 +306,7 @@ def load_digits_large(k: int = 100):
         D[iu] = dists
         D += D.T
         ng = _knn_from_dense(D, 100)
-        np.savez_compressed(cache, ngi=ng[0], ngd=ng[1])
+        np.savez_compressed(cache, ngi=ng[0], ngd=ng[1], xhash=xh)
         ng = (ng[0][:, :k], ng[1][:, :k])
     return {"X": X, "y": y, "neighbor_graph": ng, "cost_matrix": M}
 

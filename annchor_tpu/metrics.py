@@ -163,7 +163,7 @@ class _DenseBatchEngine:
             outs.append(d[: d.shape[0] - pad] if pad else d)
         return np.concatenate(outs).astype(np.float64)
 
-    def fused_maxmin(self, X, na, first_ix):
+    def fused_maxmin(self, X, na, first_ix, verbose=False):
         """Whole greedy max-min anchor loop as one device program
         (see ops/levenshtein_myers.myers_maxmin for the pattern;
         replaces na host round-trips, reference pickers.py:18-52)."""
@@ -246,8 +246,12 @@ class _LevenshteinEngine:
         self._pallas_ok = None
 
     def _encode(self, X):
+        # keyed by identity, but the cache entry holds a strong ref to
+        # X so its id() cannot be recycled while the entry is live
+        # (id()-aliasing hazard: CPython reuses addresses readily)
         key = id(X)
-        enc = self._cache.get(key)
+        hit = self._cache.get(key)
+        enc = hit[1] if hit is not None and hit[0] is X else None
         if enc is None:
             seq = list(X)
             if len(seq) and not isinstance(seq[0], str):
@@ -264,7 +268,7 @@ class _LevenshteinEngine:
 
                 codes = jnp.asarray(codes)  # upload once, reuse per call
             enc = (codes, lengths, myers)
-            self._cache = {key: enc}  # hold one dataset at a time
+            self._cache = {key: (X, enc)}  # hold one dataset at a time
         return enc
 
     def _pairs(self, enc, I, J):
@@ -305,7 +309,7 @@ class _LevenshteinEngine:
             )
         return self._pallas_ok
 
-    def fused_maxmin(self, X, na, first_ix):
+    def fused_maxmin(self, X, na, first_ix, verbose=False):
         """Fused greedy max-min anchors via the one-vs-all Myers
         column kernel (scalar text chars -> no gathers)."""
         _, _, myers = self._encode(X)
@@ -313,7 +317,7 @@ class _LevenshteinEngine:
             return None
         from annchor_tpu.ops.levenshtein_myers import myers_maxmin
 
-        return myers_maxmin(myers, int(na), int(first_ix))
+        return myers_maxmin(myers, int(na), int(first_ix), verbose=verbose)
 
     def __call__(self, X, Z, IJ):
         IJ = np.asarray(IJ, dtype=np.int64)
@@ -497,19 +501,29 @@ def _chunk_eval(args):
     return [f(x, z) for x, z in zip(xs, zs)]
 
 
-def _fanout_scalar(f, X, Z, IJ, backend):
+def _fanout_scalar(f, X, Z, IJ, backend, verbose=False):
     """Arbitrary-Python-metric fallback: chunked fan-out over a worker
     pool (reference utils.py:152-177 fans the same workloads over
     joblib processes).  Threads by default — metric closures are rarely
     picklable and NumPy/SciPy metrics release the GIL; process pools on
-    request via backend='loky'/'multiprocessing'."""
+    request via backend='loky'/'multiprocessing'.  verbose reports
+    chunk progress (the reference wraps these loops in tqdm,
+    reference utils.py:136,159)."""
     import os
+
+    from annchor_tpu.progress import progress
 
     m = IJ.shape[0]
     ncpu = os.cpu_count() or 1
     if m < 256 or (ncpu == 1 and backend is None):
         return np.array(
-            [f(X[i], Z[j]) for i, j in IJ], dtype=np.float64
+            [
+                f(X[i], Z[j])
+                for i, j in progress(
+                    IJ, "metric calls", verbose and m >= 4096, m
+                )
+            ],
+            dtype=np.float64,
         )
     pool = _executor(backend or "threading")
     nchunk = max(64, m // (4 * ncpu))
@@ -520,14 +534,26 @@ def _fanout_scalar(f, X, Z, IJ, backend):
         zs = [Z[j] for j in blk[:, 1]]
         jobs.append(pool.submit(_chunk_eval, (f, xs, zs)))
     try:
-        out = [v for job in jobs for v in job.result(timeout=60)]
+        out = [
+            v
+            for job in progress(
+                jobs, "metric chunks", verbose and len(jobs) > 1
+            )
+            for v in job.result(timeout=60)
+        ]
     except Exception:
         # unpicklable closure under a process backend, worker death,
         # etc: finish the work serially rather than failing the fit
         for job in jobs:
             job.cancel()
         return np.array(
-            [f(X[i], Z[j]) for i, j in IJ], dtype=np.float64
+            [
+                f(X[i], Z[j])
+                for i, j in progress(
+                    IJ, "metric calls", verbose and m >= 4096, m
+                )
+            ],
+            dtype=np.float64,
         )
     return np.array(out, dtype=np.float64)
 
@@ -546,7 +572,7 @@ def make_get_exact_ijs(metric: Metric, verbose: bool = False, backend=None):
         IJ = np.asarray(IJ)
         if metric.batch is not None:
             return metric.batch(X, X, IJ)
-        return _fanout_scalar(f, X, X, IJ, backend)
+        return _fanout_scalar(f, X, X, IJ, backend, verbose=verbose)
 
     # pickers may take fused device shortcuts only when the user has
     # not overridden the evaluator (the get_exact_ijs plug-in contract,
@@ -565,7 +591,7 @@ def make_get_exact_query_ijs(
         IJ = np.asarray(IJ)
         if metric.batch is not None:
             return metric.batch(X, Z, IJ)
-        return _fanout_scalar(f, X, Z, IJ, backend)
+        return _fanout_scalar(f, X, Z, IJ, backend, verbose=verbose)
 
     return get_exact
 

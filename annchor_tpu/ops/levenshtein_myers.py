@@ -395,8 +395,12 @@ def _myers_maxmin_seg(peq, la_all, ids, D, A, ix, i0, steps: int, na: int):
 MAXMIN_FUSED_NX = 65536
 
 
-def myers_maxmin(enc: "MyersEncoding", na: int, first_ix: int):
+def myers_maxmin(
+    enc: "MyersEncoding", na: int, first_ix: int, verbose: bool = False
+):
     """Host wrapper for the fused max-min anchor kernel."""
+    from annchor_tpu.progress import progress
+
     peq, _, ids, la = enc.device_arrays()
     n = peq.shape[0]
     if n <= MAXMIN_FUSED_NX:
@@ -407,14 +411,14 @@ def myers_maxmin(enc: "MyersEncoding", na: int, first_ix: int):
     D = jnp.zeros((na, n), dtype=jnp.int32)
     A = jnp.zeros((na,), dtype=jnp.int32)
     ix = jnp.asarray(int(first_ix), jnp.int32)
-    i0 = 0
-    while i0 < na:
+    for i0 in progress(
+        range(0, na, steps), "anchor columns", verbose
+    ):
         s = min(steps, na - i0)
         D, A, ix = _myers_maxmin_seg(
             peq, la, ids, D, A, ix, jnp.asarray(i0, jnp.int32), s, na
         )
         np.asarray(A[:1])  # sync: bound per-dispatch runtime
-        i0 += s
     return np.asarray(A), np.asarray(D, dtype=np.float64).T
 
 

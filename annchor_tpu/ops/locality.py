@@ -260,8 +260,11 @@ def candidate_pairs(
     except Exception:
         have_native = False
 
+    # each packed block is decoded as it arrives and discarded — the
+    # decoded pairs (8 B each) are the only retained O(m) state, never
+    # the full nx^2/8-byte packed mask (GB-scale at large nx)
     nblk = min(block, nx)
-    blocks = []  # (row_off, packed words) per block
+    parts = []  # (m_blk, 2) int32 per block
     for s in range(0, nx, nblk):
         e = min(s + nblk, nx)
         Sb = S[s:e]
@@ -273,30 +276,19 @@ def candidate_pairs(
         packed = np.asarray(
             _block_keep_packed(S_pad, Sb, eb, eff_pad, np.int32(s))
         )[: e - s]  # (B, (nx+pad)/32) uint32
-        blocks.append((s, packed))
-        _tick("block %d pack+download" % (s // nblk))
-
-    if have_native:
-        # popcount-size once, then decode every block straight into
-        # rows of a single preallocated pair array (no concat copies)
-        counts = [native.count_pairs(p) for _, p in blocks]
-        IJs = np.empty((int(sum(counts)), 2), dtype=np.int32)
-        off = 0
-        for (s, packed), cap in zip(blocks, counts):
-            off += native.unpack_pairs_into(
-                packed, nx, s, IJs[off:off + cap]
-            )
-        IJs = IJs[:off]
-    else:
-        rows_out, cols_out = [], []
-        for s, packed in blocks:
+        if have_native:
+            blk = np.empty((native.count_pairs(packed), 2), np.int32)
+            n = native.unpack_pairs_into(packed, nx, s, blk)
+            parts.append(blk[:n])
+        else:
             r, c = _decode_packed(packed, nx, row_off=s)
-            rows_out.append(r)
-            cols_out.append(c)
-        I = np.concatenate(rows_out) if rows_out else np.zeros(0, np.int32)
-        J = np.concatenate(cols_out) if cols_out else np.zeros(0, np.int32)
-        IJs = np.stack([I, J], axis=1)
-    _tick("decode+assemble")
+            parts.append(np.stack([r, c], axis=1))
+        _tick("block %d pack+decode" % (s // nblk))
+
+    IJs = (
+        np.concatenate(parts) if parts else np.zeros((0, 2), np.int32)
+    )
+    _tick("assemble")
     return IJs, np.asarray(sid), np.asarray(S), eff
 
 
@@ -364,6 +356,7 @@ def candidate_pairs_device(
     loc_thresh: int,
     loc_min: int,
     block: int = 4096,
+    verbose: bool = False,
 ):
     """`candidate_pairs`, but the pair list is built and stays on
     device (the scale path: nothing O(m) touches the host, no mask
@@ -386,9 +379,13 @@ def candidate_pairs_device(
     while nblk * nx > (1 << 31) - 1 and nblk > 256:
         nblk //= 2
 
+    from annchor_tpu.progress import progress
+
     totals, pc_cols, pc_rows = [], [], []
     blocks = []
-    for s in range(0, nx, nblk):
+    for s in progress(
+        range(0, nx, nblk), "pair-count blocks", verbose
+    ):
         e = min(s + nblk, nx)
         Sb = S[s:e]
         eb = eff_j[s:e]
@@ -408,7 +405,9 @@ def candidate_pairs_device(
     P_cnt = P_cnt.astype(np.int32)
 
     parts_i, parts_j = [], []
-    for (s, Sb, eb), t in zip(blocks, totals):
+    for (s, Sb, eb), t in progress(
+        list(zip(blocks, totals)), "pair-extract blocks", verbose
+    ):
         if t == 0:
             continue
         cap = _cap_bucket(t)

@@ -111,15 +111,19 @@ class SinkhornExpEngine:
         self._tables = {}
 
     def _table(self, X):
+        # entries hold a strong ref to X so its id() cannot be recycled
+        # for a different array while the entry is live
         key = id(X)
-        if key not in self._tables:
+        hit = self._tables.get(key)
+        if hit is None or hit[0] is not X:
             Xn = np.asarray(X, dtype=np.float32)
             s = Xn.sum(axis=1, keepdims=True)
             Xn = Xn / np.where(s > 0, s, 1.0)
             if len(self._tables) >= 2:  # dataset + query set at most
                 self._tables.clear()
-            self._tables[key] = jnp.asarray(Xn)
-        return self._tables[key]
+            hit = (X, jnp.asarray(Xn))
+            self._tables[key] = hit
+        return hit[1]
 
     def __call__(self, X, Z, IJ):
         IJ = np.asarray(IJ, dtype=np.int64)

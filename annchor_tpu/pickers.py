@@ -48,14 +48,19 @@ class MaxMinAnchorPicker:
         if fused is not None and getattr(
             ann.get_exact_ijs, "_annchor_default", False
         ):
-            out = fused(ann.X, na, ix)
+            try:
+                out = fused(ann.X, na, ix, verbose=ann.verbose)
+            except TypeError:  # engine without the verbose kwarg
+                out = fused(ann.X, na, ix)
             if out is not None:
                 A, D = out
                 return np.asarray(A, dtype=int), D, na * nx
 
+        from annchor_tpu.progress import progress
+
         D = np.full((na, nx), np.inf)
         A = np.zeros(na, dtype=int)
-        for i in range(na):
+        for i in progress(range(na), "anchor columns", ann.verbose, na):
             A[i] = ix
             D[i] = _column(ann, ix)
             if i == 0:

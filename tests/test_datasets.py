@@ -117,6 +117,21 @@ def test_load_digits_large_cached_gt():
     assert abs(got - want) < 1e-8
 
 
+def test_digits_large_gt_hash_matches():
+    """The vendored GT npz carries a hash of the images it was computed
+    from; regenerated images must still match it (ADVICE r1: numpy
+    Generator bit-streams are not guaranteed stable across versions —
+    a mismatch must trigger regeneration, not silent corruption)."""
+    import os
+
+    import annchor_tpu.datasets as ds
+
+    g = np.load(os.path.join(ds._PKG_DIR, "data", "digits_large_gt.npz"))
+    assert "xhash" in g
+    X, _ = ds.make_digits_large()
+    assert str(g["xhash"]) == ds._digest(X)
+
+
 def test_native_unpack_pairs_roundtrip():
     from annchor_tpu import native
 

@@ -121,3 +121,16 @@ def test_sparse_fit_matches_host_pipeline(blobs, _force_sparse):
     # computed pairs carry exact distances in the materialised state
     d = np.linalg.norm(X[IJs[~ncm, 0]] - X[IJs[~ncm, 1]], axis=1)
     assert np.allclose(RA[~ncm], d, atol=1e-5)
+
+
+def test_exact_store_dedupes_and_reports_new():
+    """Duplicate/re-added pair ids must not drift the sampling budget:
+    add() returns only the count of genuinely new ids (ADVICE r1)."""
+    s = _ExactStore()
+    assert s.add(np.array([3, 5, 3]), np.array([1.0, 2.0, 9.0])) == 2
+    # in-batch duplicate keeps the first occurrence
+    assert np.allclose(s.lookup(np.array([3, 5])), [1.0, 2.0])
+    # re-adding an existing id refreshes the value, counts as 0 new
+    assert s.add(np.array([5, 7]), np.array([4.0, 6.0])) == 1
+    assert np.allclose(s.lookup(np.array([3, 5, 7])), [1.0, 4.0, 6.0])
+    assert np.all(np.diff(s.ids) > 0)
