@@ -46,15 +46,13 @@ MAX_FULL_MATRIX_NX = 4096
 # jitted programs (pure functions of device arrays)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def _features_init(D32, ij_i, ij_j, chunk: int = 1 << 21):
-    """LB/UB/dad for every pair (device-resident output), chunked
-    inside the program: the (m, na) gather intermediates would need
-    ~20 GB at 10^8 pairs.  The double-anchor lookups are flat 1-d
-    gathers — an (m, 1) take_along_axis intermediate would get the
-    (8, 128) tile layout and balloon to ~1 KB per pair."""
+def _features_body(D32, ij_i, ij_j, chunk: int):
+    """Chunked LB/UB/dad loop body (shared by the single-chip jit and
+    the per-chip shard_map program in ops/sharded_fit.py)."""
     na = D32.shape[1]
     m = ij_i.shape[0]
+    # never pad a small batch (or shard) up to the full chunk size
+    chunk = min(chunk, max(m, 1))
     cA = jnp.argmin(D32, axis=1).astype(jnp.int32)
     Dflat = D32.reshape(-1)
 
@@ -83,6 +81,16 @@ def _features_init(D32, ij_i, ij_j, chunk: int = 1 << 21):
     z = jnp.zeros(padm, dtype=jnp.float32)
     lb, ub, dad = jax.lax.fori_loop(0, nchunks, body, (z, z, z))
     return lb[:m], ub[:m], dad[:m]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _features_init(D32, ij_i, ij_j, chunk: int = 1 << 21):
+    """LB/UB/dad for every pair (device-resident output), chunked
+    inside the program: the (m, na) gather intermediates would need
+    ~20 GB at 10^8 pairs.  The double-anchor lookups are flat 1-d
+    gathers — an (m, 1) take_along_axis intermediate would get the
+    (8, 128) tile layout and balloon to ~1 KB per pair."""
+    return _features_body(D32, ij_i, ij_j, chunk)
 
 
 @functools.partial(jax.jit, static_argnames=("is_metric", "init"))
@@ -121,9 +129,8 @@ def _regress_update(
     return RA2, ncm2, sample_pred
 
 
-@functools.partial(jax.jit, static_argnames=("quotas", "equal_mass"))
-def _sample_draw(dad, ncm, key, ilo, ihi, pool_n, quotas: tuple,
-                 equal_mass: bool = False):
+def _sample_draw_body(dad, ncm, key, ilo, ihi, pool_n, quotas: tuple,
+                      equal_mass: bool = False):
     """Stratified without-replacement sample drawn on device.
 
     Numerically mirrors the host SimpleStratifiedSampler: bin edges are
@@ -182,6 +189,10 @@ def _sample_draw(dad, ncm, key, ilo, ihi, pool_n, quotas: tuple,
     return jnp.concatenate(picks), jnp.stack(got), inner
 
 
+_sample_draw = functools.partial(jax.jit, static_argnames=(
+    "quotas", "equal_mass"))(_sample_draw_body)
+
+
 def _pair_id_full(nx: int):
     """Analytic padded incidence matrix for the all-pairs candidate set
     (loc_thresh=1 frequently keeps every pair at small nx): pair (a, b),
@@ -207,8 +218,7 @@ def _pidx_full_dev(nx: int):
     return a * nx - a * (a + 1) // 2 + (b - a - 1)
 
 
-@functools.partial(jax.jit, static_argnames=("nx", "max_deg"))
-def _pidx_from_pairs(ij_i, ij_j, nx: int, max_deg: int):
+def _pidx_from_pairs_body(ij_i, ij_j, nx: int, max_deg: int):
     """Padded incidence matrix built on device: one argsort-based
     counting sort over the endpoint list (uploading a prebuilt host
     matrix costs hundreds of MB through the tunnel at scale)."""
@@ -226,8 +236,11 @@ def _pidx_from_pairs(ij_i, ij_j, nx: int, max_deg: int):
     return P.at[se, cols].set(jnp.take(pair_ids, order), mode="drop")
 
 
-@functools.partial(jax.jit, static_argnames=("nx", "max_deg"))
-def _pidx_from_pairs_capped(ij_i, ij_j, lb, nx: int, max_deg: int):
+_pidx_from_pairs = functools.partial(jax.jit, static_argnames=(
+    "nx", "max_deg"))(_pidx_from_pairs_body)
+
+
+def _pidx_from_pairs_capped_body(ij_i, ij_j, lb, nx: int, max_deg: int):
     """Degree-capped incidence matrix: each point lists at most
     max_deg candidate pairs, kept in ascending lower-bound order so a
     truncated hub row retains its most promising candidates.  Every
@@ -252,6 +265,10 @@ def _pidx_from_pairs_capped(ij_i, ij_j, lb, nx: int, max_deg: int):
     cols = jnp.arange(2 * m, dtype=jnp.int32) - jnp.take(starts, se)
     P = jnp.full((nx, max_deg), m, dtype=jnp.int32)
     return P.at[se, cols].set(jnp.take(pair_ids, order), mode="drop")
+
+
+_pidx_from_pairs_capped = functools.partial(jax.jit, static_argnames=(
+    "nx", "max_deg"))(_pidx_from_pairs_capped_body)
 
 
 # resident (nx, max_deg) incidence budget: 2 GB of int32
@@ -604,13 +621,26 @@ class _ExactStore:
         self.vals = np.empty(0, np.float64)
 
     def add(self, ids, vals):
+        """Insert (deduplicated) values; re-adding an existing id
+        refreshes its value instead of inserting a duplicate entry.
+        Returns the number of genuinely new ids (the sampling/select
+        budget decrements by this, so repeat ids cannot drift it)."""
         ids = np.asarray(ids, dtype=np.int64)
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        vals = np.asarray(vals, dtype=np.float64)[order]
-        pos = np.searchsorted(self.ids, ids)
-        self.ids = np.insert(self.ids, pos, ids)
-        self.vals = np.insert(self.vals, pos, vals)
+        vals = np.asarray(vals, dtype=np.float64)
+        uids, first = np.unique(ids, return_index=True)
+        uvals = vals[first]
+        pos = np.searchsorted(self.ids, uids)
+        if self.ids.shape[0]:
+            pos_c = np.clip(pos, 0, self.ids.shape[0] - 1)
+            exists = self.ids[pos_c] == uids
+            if exists.any():
+                self.vals[pos_c[exists]] = uvals[exists]
+                uids, uvals, pos = (
+                    uids[~exists], uvals[~exists], pos[~exists]
+                )
+        self.ids = np.insert(self.ids, pos, uids)
+        self.vals = np.insert(self.vals, pos, uvals)
+        return int(uids.shape[0])
 
     def lookup(self, q):
         """Values for pair ids `q` (NaN where not computed); any
@@ -670,15 +700,51 @@ class DeviceFitState:
             self.ij_j = jnp.asarray(ann.IJs[:, 1].astype(np.int32))
             jax.block_until_ready((self.ij_i, self.ij_j))
         _tick("ij upload")
+
+        # multi-chip: shard the whole pair state over the device mesh
+        # (ops/sharded_fit.py); single-chip fits take the plain-jit
+        # kernels below unchanged
+        from annchor_tpu import parallel
+
+        mesh = parallel.auto_mesh()
+        self.shard = None
+        if mesh is not None:
+            from annchor_tpu.ops.sharded_fit import ShardedFit
+
+            s = mesh.size
+            m_pad = -(-self.m // s) * s
+            nx_pad = -(-nx // s) * s
+            self.shard = ShardedFit(mesh, self.m, m_pad, nx, nx_pad)
+            # sentinel pairs (0, 0) are excluded everywhere by
+            # `id < m` guards and ncm=False
+            self.ij_i = self.shard.put_pairs(self.ij_i, fill=0)
+            self.ij_j = self.shard.put_pairs(self.ij_j, fill=0)
+        self.m_pad = self.m if self.shard is None else self.shard.m_pad
+        _tick("shard placement")
+
         D32 = jnp.asarray(np.asarray(ann.D, dtype=np.float32))
         # keep the (chunk, na) gather working set ~0.5 GB
         fchunk = max(1 << 18, (1 << 27) // max(D32.shape[1], 1))
-        self.lb, self.ub, self.dad = _features_init(
-            D32, self.ij_i, self.ij_j, chunk=fchunk
-        )
+        if self.shard is not None:
+            self.lb, self.ub, self.dad = self.shard.features(
+                D32, self.ij_i, self.ij_j, chunk=fchunk
+            )
+        else:
+            self.lb, self.ub, self.dad = _features_init(
+                D32, self.ij_i, self.ij_j, chunk=fchunk
+            )
         if _dbg:
             jax.block_until_ready((self.lb, self.ub, self.dad))
         _tick("features init")
+
+        # sharded builds route sentinel pairs to dropped row nx so the
+        # incidence matrix never lists them
+        if self.shard is not None and self.m_pad > self.m:
+            gid = jnp.arange(self.m_pad, dtype=jnp.int32)
+            bij_i = jnp.where(gid < self.m, self.ij_i, nx)
+            bij_j = jnp.where(gid < self.m, self.ij_j, nx)
+        else:
+            bij_i, bij_j = self.ij_i, self.ij_j
         if self.m == nx * (nx - 1) // 2 and not self.sparse:
             # all-pairs candidate set: build the incidence matrix on
             # device from its closed form instead of uploading it
@@ -695,16 +761,24 @@ class DeviceFitState:
                 )
             )
             cap = max(2 * ann.n_neighbors, budget // max(nx, 1))
-            if max_deg > cap:
+            deg = cap if max_deg > cap else max_deg
+            if self.shard is not None:
+                self.P_idx_d = self.shard.build_pidx(
+                    bij_i, bij_j, self.lb, nx, deg, max_deg > cap
+                )
+            elif max_deg > cap:
                 self.P_idx_d = _pidx_from_pairs_capped(
-                    self.ij_i, self.ij_j, self.lb, nx, cap
+                    bij_i, bij_j, self.lb, nx, cap
                 )
             else:
                 self.P_idx_d = _pidx_from_pairs(
-                    self.ij_i, self.ij_j, nx, max_deg
+                    bij_i, bij_j, nx, max_deg
                 )
         else:
             self.P_idx_d = jnp.asarray(ann.P_idx)
+        if self.shard is not None:
+            # no-op when build_pidx already produced the sharded layout
+            self.P_idx_d = self.shard.put_rows(self.P_idx_d)
         _tick("P_idx build")
 
         # anchor flag / not-computed mask / exact float64 values:
@@ -721,7 +795,13 @@ class DeviceFitState:
             af = _anchor_flag_dev(
                 self.ij_i, self.ij_j, jnp.asarray(anchor_np)
             )
-            self.ncm = ~af
+            if self.m_pad > self.m:
+                # sentinel pairs are neither anchors nor samplable
+                real = jnp.arange(self.m_pad, dtype=jnp.int32) < self.m
+                af = af & real
+                self.ncm = (~af) & real
+            else:
+                self.ncm = ~af
             self.exact = _ExactStore()
             n_anchor_pairs = int(jnp.sum(af))
             self.pool = self.m - n_anchor_pairs
@@ -738,7 +818,12 @@ class DeviceFitState:
             )
             _tick("anchor flag host")
             self.ncm_host = ~self.anchor_flag
-            self.ncm = jnp.asarray(self.ncm_host)
+            if self.shard is not None:
+                self.ncm = self.shard.put_pairs(
+                    jnp.asarray(self.ncm_host), fill=False
+                )
+            else:
+                self.ncm = jnp.asarray(self.ncm_host)
             self.pool = int(self.ncm_host.sum())
             self.exact64 = np.full(self.m, np.nan)
             ids = np.flatnonzero(self.anchor_flag)
@@ -746,7 +831,14 @@ class DeviceFitState:
             self._fill_anchor_exacts(ids)
         _tick("host mirrors")
 
-        self.RA = jnp.zeros(self.m, dtype=jnp.float32)
+        if self.shard is not None:
+            # sentinel RA stays +inf (P_idx pad entries read "worse
+            # than everything", matching the single-chip convention)
+            self.RA = self.shard.put_pairs(
+                jnp.zeros(self.m, dtype=jnp.float32), fill=F32_INF
+            )
+        else:
+            self.RA = jnp.zeros(self.m, dtype=jnp.float32)
         self.thresh = None
         self._started = False
 
@@ -769,20 +861,30 @@ class DeviceFitState:
         """(len, 2) int64 host pair coordinates for pair row ids."""
         if not self.sparse:
             return self.ann.IJs[ids]
-        ii, jj = _gather_pair_cols(
-            self.ij_i, self.ij_j, jnp.asarray(ids.astype(np.int32))
-        )
+        idd = jnp.asarray(ids.astype(np.int32))
+        if self.shard is not None:
+            ii, jj = self.shard.gather_pairs(
+                (self.ij_i, self.ij_j), idd
+            )
+        else:
+            ii, jj = _gather_pair_cols(self.ij_i, self.ij_j, idd)
         return np.stack(
             [np.asarray(ii), np.asarray(jj)], axis=1
         ).astype(np.int64)
 
     def _store_exact(self, ids, vals):
+        # pool decrements by the count of genuinely *new* pair ids so a
+        # repeat/duplicate id can never drift the sampling budget
+        ids = np.asarray(ids, dtype=np.int64)
+        vals = np.asarray(vals, dtype=np.float64)
         if self.sparse:
-            self.exact.add(ids, vals)
+            n_new = self.exact.add(ids, vals)
         else:
-            self.ncm_host[ids] = False
-            self.exact64[ids] = vals
-        self.pool -= int(np.asarray(ids).shape[0])
+            uids, first = np.unique(ids, return_index=True)
+            n_new = int(np.count_nonzero(self.ncm_host[uids]))
+            self.ncm_host[uids] = False
+            self.exact64[uids] = vals[first]
+        self.pool -= n_new
 
     def _fill_anchor_exacts(self, ids):
         """Anchor-pair rows are exact from the D columns (vectorised
@@ -809,9 +911,13 @@ class DeviceFitState:
 
     def sample_rows(self, ids):
         """Feature rows for the fitted strategies (small download)."""
-        lb, ub, dad = _gather_rows(
-            self.lb, self.ub, self.dad, jnp.asarray(ids.astype(np.int32))
-        )
+        idd = jnp.asarray(ids.astype(np.int32))
+        if self.shard is not None:
+            lb, ub, dad = self.shard.gather_pairs(
+                (self.lb, self.ub, self.dad), idd
+            )
+        else:
+            lb, ub, dad = _gather_rows(self.lb, self.ub, self.dad, idd)
         feats = np.empty((len(ids), 4), dtype=np.float64)
         feats[:, 0] = np.asarray(lb)
         feats[:, 1] = np.asarray(ub)
@@ -857,7 +963,11 @@ class DeviceFitState:
             jnp.int32(min(ihi, pool - 1)),
             jnp.int32(pool),
         )
-        ids, got, inner = _sample_draw(*args, tuple(quotas))
+        if self.shard is not None:
+            draw = self.shard.sample_draw
+        else:
+            draw = _sample_draw
+        ids, got, inner = draw(*args, tuple(quotas))
         if np.asarray(got).min(initial=2) < 2:
             # linspace edges landed in density gaps (multimodal
             # distances): retry with equal-mass quantile edges, which
@@ -866,7 +976,7 @@ class DeviceFitState:
                 "Warning: stratification bins degenerate; "
                 "switching to equal-mass bins."
             )
-            ids, got, inner = _sample_draw(
+            ids, got, inner = draw(
                 *args, tuple(quotas), equal_mass=True
             )
             if np.asarray(got).min(initial=2) < 2:
@@ -876,7 +986,7 @@ class DeviceFitState:
                     "Warning: stratification bins degenerate; "
                     "sampling uniformly."
                 )
-                ids, got, _ = _sample_draw(*args, (adjusted,))
+                ids, got, _ = draw(*args, (adjusted,))
         ids = np.asarray(ids, dtype=np.int64)
         ids = ids[ids >= 0]
         if ids.shape[0] != adjusted:
@@ -897,14 +1007,27 @@ class DeviceFitState:
         icepts = jnp.asarray(np.asarray(regression.intercepts, np.float32))
         sids = jnp.asarray(sample_ids.astype(np.int32))
         sy = jnp.asarray(sample_y.astype(np.float32))
-        self.RA, self.ncm, sample_pred = _regress_update(
-            self.lb, self.ub, self.dad, self.RA, self.ncm,
-            inner, coefs, icepts, sids, sy,
-            self.ann.is_metric, not self._started,
-        )
+        if self.shard is not None:
+            self.RA, self.ncm, sample_pred = self.shard.regress_update(
+                self.lb, self.ub, self.dad, self.RA, self.ncm,
+                inner, coefs, icepts, sids, sy,
+                self.ann.is_metric, not self._started,
+                int(coefs.shape[0]),
+            )
+        else:
+            self.RA, self.ncm, sample_pred = _regress_update(
+                self.lb, self.ub, self.dad, self.RA, self.ncm,
+                inner, coefs, icepts, sids, sy,
+                self.ann.is_metric, not self._started,
+            )
         self._started = True
         if self._override is not None:
-            self.RA = _override_rows(self.RA, *self._override)
+            if self.shard is not None:
+                self.RA = self.shard.override_rows(
+                    self.RA, *self._override
+                )
+            else:
+                self.RA = _override_rows(self.RA, *self._override)
         self._store_exact(sample_ids, sample_y)
         return np.asarray(sample_pred, dtype=np.float64)
 
@@ -942,20 +1065,34 @@ class DeviceFitState:
         if n_ref <= 0:
             self.thresh = None
             return np.zeros(0, dtype=np.int64)
-        chosen, thresh = _select(
-            self.RA, self.ncm, self.ij_i, self.ij_j, self.dad,
-            self.P_idx_d, inner,
-            jnp.asarray(grid), jnp.asarray(lo), jnp.asarray(inv),
-            jnp.asarray(hi),
-            int(nn), n_ref, bool(guarantee), int(nmin),
-        )
+        if self.shard is not None:
+            chosen, thresh = self.shard.select(
+                self.RA, self.ncm, self.ij_i, self.ij_j, self.dad,
+                self.P_idx_d, inner,
+                jnp.asarray(grid), jnp.asarray(lo), jnp.asarray(inv),
+                jnp.asarray(hi),
+                int(nn), n_ref, bool(guarantee), int(nmin),
+            )
+        else:
+            chosen, thresh = _select(
+                self.RA, self.ncm, self.ij_i, self.ij_j, self.dad,
+                self.P_idx_d, inner,
+                jnp.asarray(grid), jnp.asarray(lo), jnp.asarray(inv),
+                jnp.asarray(hi),
+                int(nn), n_ref, bool(guarantee), int(nmin),
+            )
         self.thresh = thresh  # device-resident; used by tighten
         return np.asarray(chosen, dtype=np.int64)
 
     def apply_exact(self, ids, vals):
         idd = jnp.asarray(ids.astype(np.int32))
         vd = jnp.asarray(np.asarray(vals, np.float32))
-        self.RA, self.ncm = _scatter_exact(self.RA, self.ncm, idd, vd)
+        if self.shard is not None:
+            self.RA, self.ncm = self.shard.scatter_exact(
+                self.RA, self.ncm, idd, vd
+            )
+        else:
+            self.RA, self.ncm = _scatter_exact(self.RA, self.ncm, idd, vd)
         self._store_exact(ids, vals)
 
     TIGHTEN_NCOL = 2048  # pseudo-anchor columns at scale
@@ -964,19 +1101,33 @@ class DeviceFitState:
     def tighten(self):
         nx = self.ann.nx
         if nx <= MAX_FULL_MATRIX_NX:
-            self.lb, self.ub = _tighten_full(
-                self.ij_i, self.ij_j, self.RA, self.ncm,
-                self.lb, self.ub, nx,
-            )
+            if self.shard is not None:
+                self.lb, self.ub = self.shard.tighten_full(
+                    self.ij_i, self.ij_j, self.RA, self.ncm,
+                    self.lb, self.ub, nx,
+                )
+            else:
+                self.lb, self.ub = _tighten_full(
+                    self.ij_i, self.ij_j, self.RA, self.ncm,
+                    self.lb, self.ub, nx,
+                )
             return
         if self.thresh is None:
             return  # contender filter needs thresholds (post-select)
-        self.lb, self.ub = _tighten_cols(
-            self.ij_i, self.ij_j, self.RA, self.ncm,
-            self.lb, self.ub, self.thresh,
-            min(self.TIGHTEN_NCOL, nx),
-            int(min(self.TIGHTEN_CMAX, self.m)),
-        )
+        if self.shard is not None:
+            self.lb, self.ub = self.shard.tighten_cols(
+                self.ij_i, self.ij_j, self.RA, self.ncm,
+                self.lb, self.ub, self.thresh,
+                min(self.TIGHTEN_NCOL, nx),
+                int(min(self.TIGHTEN_CMAX, self.m)),
+            )
+        else:
+            self.lb, self.ub = _tighten_cols(
+                self.ij_i, self.ij_j, self.RA, self.ncm,
+                self.lb, self.ub, self.thresh,
+                min(self.TIGHTEN_NCOL, nx),
+                int(min(self.TIGHTEN_CMAX, self.m)),
+            )
         if self.sparse:
             # per-iteration barrier: without it the host races ahead
             # and several generations of the O(m) f32 state stay live
@@ -987,15 +1138,26 @@ class DeviceFitState:
 
     def finalise(self):
         self.tighten()
-        self.RA = _clip_ra(self.RA, self.ncm, self.lb, self.ub)
+        if self.shard is not None:
+            self.RA = self.shard.clip_ra(
+                self.RA, self.ncm, self.lb, self.ub
+            )
+        else:
+            self.RA = _clip_ra(self.RA, self.ncm, self.lb, self.ub)
 
     def knn_graph(self, nn):
         """Final k-NN graph; exact distances come from the host float64
         cache, predicted ones from the downloaded f32 estimates."""
         nn = min(int(nn), int(self.P_idx_d.shape[1]))
-        pair_ids, partners, ra_sel = _knn(
-            self.RA, self.ncm, self.P_idx_d, self.ij_i, self.ij_j, nn
-        )
+        if self.shard is not None:
+            pair_sum = (self.ij_i + self.ij_j).astype(jnp.int32)
+            pair_ids, partners, ra_sel = self.shard.knn(
+                self.RA, self.ncm, self.P_idx_d, pair_sum, nn
+            )
+        else:
+            pair_ids, partners, ra_sel = _knn(
+                self.RA, self.ncm, self.P_idx_d, self.ij_i, self.ij_j, nn
+            )
         pair_ids = np.asarray(pair_ids, dtype=np.int64)
         ngi = np.asarray(partners, dtype=np.int64)
         ra_sel = np.asarray(ra_sel, dtype=np.float64)
@@ -1017,13 +1179,14 @@ class DeviceFitState:
         sparse mode)."""
         if self.ncm_host is not None:
             return self.ncm_host
-        return np.asarray(self.ncm)
+        return np.asarray(self.ncm)[: self.m]
 
     def materialise(self):
         """Download the f32 state and hand back float64 host arrays
-        (exact values keep full precision from the host cache)."""
-        lb = np.asarray(self.lb, dtype=np.float64)
-        ub = np.asarray(self.ub, dtype=np.float64)
+        (exact values keep full precision from the host cache;
+        sentinel shard padding is sliced off)."""
+        lb = np.asarray(self.lb, dtype=np.float64)[: self.m]
+        ub = np.asarray(self.ub, dtype=np.float64)[: self.m]
         if self.sparse:
             af = np.zeros(self.m, dtype=np.float64)
             if self._anchor_ids is not None:
@@ -1031,10 +1194,10 @@ class DeviceFitState:
         else:
             af = self.anchor_flag.astype(np.float64)
         features = np.stack(
-            [lb, ub, np.asarray(self.dad, dtype=np.float64), af],
+            [lb, ub, np.asarray(self.dad, dtype=np.float64)[: self.m], af],
             axis=1,
         )
-        RA = np.asarray(self.RA, dtype=np.float64)
+        RA = np.asarray(self.RA, dtype=np.float64)[: self.m]
         if self.sparse:
             RA[self.exact.ids] = self.exact.vals
             return features, RA, self.ncm_to_host()

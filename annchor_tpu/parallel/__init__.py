@@ -79,10 +79,24 @@ def mesh_for(n_devices: int | None = None, devices=None) -> Mesh:
 
 def auto_mesh() -> Mesh | None:
     """Mesh over all default-backend devices, or None if single-device
-    (the common single-chip case: no sharding overhead)."""
+    (the common single-chip case: no sharding overhead).
+
+    The *configured* default device decides the backend: environments
+    that pin ``jax_default_device`` to CPU while a remote-TPU plugin
+    owns ``jax.devices()`` (the CI / virtual-mesh setup) get the CPU
+    mesh they asked for."""
     if os.environ.get("ANNCHOR_TPU_DISABLE_SHARDING"):
         return None
-    devices = jax.devices()
+    devices = None
+    dflt = jax.config.jax_default_device
+    if dflt is not None:
+        platform = getattr(dflt, "platform", str(dflt))
+        try:
+            devices = jax.devices(platform)
+        except RuntimeError:
+            devices = None
+    if devices is None:
+        devices = jax.devices()
     if len(devices) < 2:
         return None
     return Mesh(np.asarray(devices), (PAIR_AXIS,))
