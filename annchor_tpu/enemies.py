@@ -12,28 +12,26 @@ import numpy as np
 
 from annchor_tpu.ops import pairs as pair_ops
 from annchor_tpu.ops.features import anchor_membership
-from annchor_tpu.ops.locality import effective_thresholds
+from annchor_tpu.ops.locality import (
+    effective_thresholds,
+    enemy_candidate_pairs,
+)
 
-
-def _shared_counts(S):
-    import jax
-    import jax.numpy as jnp
-
-    Sd = jnp.asarray(S)
-    return np.asarray(
-        jax.lax.dot_general(
-            Sd,
-            Sd,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    )
+# row-block size for the padded-incidence passes: bounds the
+# (block, max_deg) float64 temps at large nx
+_ROW_BLOCK = 2048
 
 
 def get_nearest_enemies(ann, y, nn=3, loc_min=100):
     """Computes the k nearest *differently-labelled* points for each
     point; stored as ann.nearest_enemy_graph (reference
-    annchor.py:685-787)."""
+    annchor.py:685-787).
+
+    Scale-safe: the enemy candidate pairs come from the blocked device
+    kernel (ops/locality.enemy_candidate_pairs) and the per-point
+    refine/assembly passes run vectorised over row blocks of the padded
+    incidence matrix — no (nx, nx) host matrices, no Python loop over
+    points."""
     nx = ann.nx
     y = np.asarray(y)
     assert len(y) == nx, (
@@ -46,22 +44,10 @@ def get_nearest_enemies(ann, y, nn=3, loc_min=100):
     )
 
     # --- enemy candidate pairs: adaptive thresholds over enemy columns
-    enemy = y[:, None] != y[None, :]
     eff_e = effective_thresholds(
-        ann.S, ann.loc_thresh, loc_min, label_mask=enemy
+        ann.S, ann.loc_thresh, loc_min, label_neq=y
     )
-    counts_mat = _shared_counts(ann.S)
-    M_e = enemy & (
-        counts_mat >= np.minimum(eff_e[:, None], eff_e[None, :])
-    )
-    # subtract pairs already tracked by the main candidate set
-    M_orig = counts_mat >= np.minimum(
-        ann.loc_eff[:, None], ann.loc_eff[None, :]
-    )
-    np.fill_diagonal(M_orig, True)
-    M_new = M_e & ~M_orig
-    r, c = np.nonzero(np.triu(M_new, k=1))
-    IJ_new = np.stack([r, c], axis=1).astype(np.int32)
+    IJ_new = enemy_candidate_pairs(ann.S, y, eff_e, ann.loc_eff)
 
     # --- features + predicted distances for the new pairs
     fnames, feats_new, ncm_new = ann.get_features_IJ(IJ_new)
@@ -82,22 +68,29 @@ def get_nearest_enemies(ann, y, nn=3, loc_min=100):
     m = ann.IJs.shape[0]
     pair_sum = np.concatenate([ann.IJs.sum(axis=1), [0]]).astype(np.int64)
 
-    # --- refine: 50 closest predicted enemies per point
+    # --- refine: 50 closest predicted enemies per point, row-blocked
     # (reference annchor.py:753-769)
-    to_refine = []
-    others_cache = {}
-    for i in range(nx):
-        ids = ann.P_idx[i][ann.P_idx[i] < m].astype(np.int64)
-        others = pair_sum[ids] - i
-        others_cache[i] = (ids, others)
-        emask = y[others] != y[i]
-        eids = ids[emask]
-        order = np.argsort(RA[eids], kind="stable")[:50]
-        sel = eids[order]
-        to_refine.append(sel[ncm[sel]])
+    refine_parts = []
+    for s in range(0, nx, _ROW_BLOCK):
+        e = min(s + _ROW_BLOCK, nx)
+        rows = ann.P_idx[s:e].astype(np.int64)  # (B, max_deg)
+        valid = rows < m
+        ids = np.where(valid, rows, 0)
+        others = np.where(
+            valid, pair_sum[ids] - np.arange(s, e)[:, None], 0
+        )
+        emask = valid & (y[others] != y[s:e, None])
+        dmat = np.where(emask, RA[ids], np.inf)
+        k = min(50, dmat.shape[1])
+        order = np.argsort(dmat, axis=1, kind="stable")[:, :k]
+        sel = np.take_along_axis(ids, order, axis=1)
+        sel_ok = np.take_along_axis(emask, order, axis=1)
+        sel = sel[sel_ok & ncm[sel]]
+        if sel.size:
+            refine_parts.append(sel)
     to_refine = (
-        np.concatenate([t for t in to_refine if len(t)])
-        if any(len(t) for t in to_refine)
+        np.concatenate(refine_parts)
+        if refine_parts
         else np.zeros(0, dtype=np.int64)
     )
     if len(to_refine):
@@ -105,18 +98,31 @@ def get_nearest_enemies(ann, y, nn=3, loc_min=100):
         RA[to_refine] = d
         ncm[to_refine] = False
 
-    # --- assemble the enemy graph (reference annchor.py:771-787)
+    # --- assemble the enemy graph, row-blocked
+    # (reference annchor.py:771-787)
     ngi = np.zeros((nx, nn), dtype=np.int64)
     ngd = np.zeros((nx, nn))
-    for i in range(nx):
-        ids, others = others_cache[i]
-        d = RA[ids].copy()
-        mx = d.max() if len(d) else 0.0
-        d[ncm[ids]] += mx
-        d[y[others] == y[i]] += mx
-        order = np.argsort(d, kind="stable")[:nn]
-        ngd[i] = RA[ids[order]]
-        ngi[i] = others[order]
+    for s in range(0, nx, _ROW_BLOCK):
+        e = min(s + _ROW_BLOCK, nx)
+        rows = ann.P_idx[s:e].astype(np.int64)
+        valid = rows < m
+        ids = np.where(valid, rows, 0)
+        others = np.where(
+            valid, pair_sum[ids] - np.arange(s, e)[:, None], 0
+        )
+        dmat = np.where(valid, RA[ids], np.inf)
+        mx = np.max(np.where(valid, dmat, -np.inf), axis=1, keepdims=True)
+        mx = np.where(np.isfinite(mx), mx, 0.0)
+        pen = (
+            dmat
+            + mx * (valid & ncm[ids])
+            + mx * (valid & (y[others] == y[s:e, None]))
+        )
+        order = np.argsort(pen, axis=1, kind="stable")[:, :nn]
+        ngd[s:e] = np.take_along_axis(
+            np.where(valid, RA[ids], np.inf), order, axis=1
+        )
+        ngi[s:e] = np.take_along_axis(others, order, axis=1)
 
     ann.nearest_enemy_graph = (ngi, ngd)
     return ann.nearest_enemy_graph
@@ -254,10 +260,19 @@ def annchor_selective_subset(ann, y, dne=None, alpha=0):
     return _prune_cover(subset, tab_j, depth_full, ann.nx)
 
 
-def alpha_rss(ann, y, dne=None, alpha=0):
+def alpha_rss(ann, y, dne=None, alpha=0, block=64):
     """Sequential alpha-RSS subset: visit points by ascending enemy
     distance; a point joins the subset unless it is already within its
-    own (alpha-shrunk) enemy radius of an existing member."""
+    own (alpha-shrunk) enemy radius of an existing member.
+
+    The decision loop is inherently sequential (each admission changes
+    later tests), but the metric evaluation is batched: candidates are
+    processed in blocks, each block's distances to all *pre-block*
+    members land in one dispatch, and only distances to members
+    admitted within the same block need small follow-up batches —
+    O(nx/block + admissions) dispatches instead of O(nx) (the reference
+    is equally sequential, annchor.py:917-940, but its per-call cost is
+    microseconds, not a device round trip)."""
     y = np.asarray(y)
     dne = _enemy_dists(ann, y, dne)
     radii = dne / (1 + alpha)
@@ -265,13 +280,39 @@ def alpha_rss(ann, y, dne=None, alpha=0):
     visit = np.argsort(dne, kind="stable")
     members = [int(visit[0])]
     ann.rssDs = {}
-    for cand in visit:
-        pairs = np.column_stack(
-            [np.full(len(members), cand), members]
-        ).astype(np.int64)
-        gaps = np.asarray(ann.get_exact_ijs(ann.f, ann.X, pairs))
-        ann.rssDs[int(cand)] = gaps
-        nearest = gaps.min()
-        if nearest > radii[cand] or np.isclose(nearest, radii[cand]):
-            members.append(int(cand))
+    for s in range(0, len(visit), block):
+        blk = visit[s : s + block]
+        base = list(members)  # members admitted before this block
+        if base:
+            pairs = np.stack(
+                [
+                    np.repeat(blk, len(base)),
+                    np.tile(base, len(blk)),
+                ],
+                axis=1,
+            ).astype(np.int64)
+            gaps_blk = np.asarray(
+                ann.get_exact_ijs(ann.f, ann.X, pairs)
+            ).reshape(len(blk), len(base))
+        else:
+            gaps_blk = np.zeros((len(blk), 0))
+        for t, cand in enumerate(blk):
+            gaps = gaps_blk[t]
+            fresh = members[len(base) :]  # admitted within this block
+            if fresh:
+                extra_pairs = np.column_stack(
+                    [np.full(len(fresh), cand), fresh]
+                ).astype(np.int64)
+                gaps = np.concatenate(
+                    [
+                        gaps,
+                        np.asarray(
+                            ann.get_exact_ijs(ann.f, ann.X, extra_pairs)
+                        ),
+                    ]
+                )
+            ann.rssDs[int(cand)] = gaps
+            nearest = gaps.min()
+            if nearest > radii[cand] or np.isclose(nearest, radii[cand]):
+                members.append(int(cand))
     return np.asarray(members)

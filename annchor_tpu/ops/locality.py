@@ -101,18 +101,25 @@ def _block_keep_packed(S, S_block, eff_block, eff_all, row_off):
 
 def effective_thresholds(
     S, loc_thresh: float, loc_min: int, block: int = 4096,
-    label_mask=None, locality: int | None = None,
+    label_mask=None, locality: int | None = None, label_neq=None,
 ):
     """Per-row effective threshold eff[i] = min(loc_thresh, kth_largest_i).
 
     label_mask: optional (nx, nx)-broadcastable bool restricting which
     columns count toward the loc_min guarantee (used by the
     nearest-enemy path, reference annchor.py:713-717).
+    label_neq: scale-safe alternative — a label vector y; the mask
+    ``y[i] != y[j]`` is built per row block on device so no (nx, nx)
+    host array ever exists.
     """
     S = jnp.asarray(S)
     nx = S.shape[0]
     if locality is None:
         locality = int(np.asarray(S).sum(axis=1).max())
+    y_dev = None
+    if label_neq is not None:
+        _, codes = np.unique(np.asarray(label_neq), return_inverse=True)
+        y_dev = jnp.asarray(codes.astype(np.int32))
     # uniform block shapes: one compile per kernel, not one per
     # remainder block (compiles are expensive on remote TPU setups)
     nblk = min(block, nx)
@@ -122,7 +129,12 @@ def effective_thresholds(
         Sb = S[s:e]
         if e - s < nblk:
             Sb = jnp.pad(Sb, ((0, nblk - (e - s)), (0, 0)))
-        if label_mask is None:
+        if y_dev is not None:
+            yb = y_dev[s:e]
+            if e - s < nblk:
+                yb = jnp.pad(yb, (0, nblk - (e - s)), constant_values=-1)
+            mask_cols = yb[:, None] != y_dev[None, :]
+        elif label_mask is None:
             mask_cols = None
         else:
             mb = np.asarray(label_mask[s:e])
@@ -422,6 +434,100 @@ def candidate_pairs_device(
         ij_j = jnp.zeros(0, jnp.int32)
     m = int(sum(totals))
     return ij_i, ij_j, m, np.asarray(sid), np.asarray(S), eff, P_cnt
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _block_enemy_packed(
+    S, S_block, y, y_block, effE_blk, effE, effO_blk, effO, row_off
+):
+    """Bit-packed mask of *new* enemy candidate pairs for a row block:
+    differently-labelled, admitted by the enemy thresholds, and not
+    already in the main candidate set (reference annchor.py:713-733,
+    computed here blocked on device so no (nx, nx) host matrix ever
+    materialises)."""
+    counts = jax.lax.dot_general(
+        S_block, S,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    nx = counts.shape[1]
+    enemy = y_block[:, None] != y[None, :]
+    thrE = jnp.minimum(effE_blk[:, None], effE[None, :])
+    thrO = jnp.minimum(effO_blk[:, None], effO[None, :])
+    col_ids = jnp.arange(nx, dtype=jnp.int32)[None, :]
+    row_ids = row_off + jnp.arange(
+        counts.shape[0], dtype=jnp.int32
+    )[:, None]
+    keep = (
+        enemy
+        & (counts >= thrE)
+        & ~(counts >= thrO)
+        & (col_ids > row_ids)
+    )
+    B = keep.shape[0]
+    bits = keep.reshape(B, nx // 32, 32).astype(jnp.uint32)
+    weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(bits * weights[None, None, :], axis=2, dtype=jnp.uint32)
+
+
+def enemy_candidate_pairs(S, y, eff_e, loc_eff, block: int = 4096):
+    """New enemy candidate pairs (i < j), blocked on device.
+
+    Returns int32 (m_new, 2).  Peak host memory is one decoded block,
+    never an (nx, nx) matrix."""
+    S = jnp.asarray(S)
+    nx = S.shape[0]
+    _, codes = np.unique(np.asarray(y), return_inverse=True)
+    y_dev = jnp.asarray(codes.astype(np.int32))
+    effE = jnp.asarray(np.asarray(eff_e, np.float32))
+    effO = jnp.asarray(np.asarray(loc_eff, np.float32))
+
+    pad_cols = (-nx) % 32
+    S_pad = jnp.pad(S, ((0, pad_cols), (0, 0))) if pad_cols else S
+    inf = np.float32(np.inf)
+    y_padded = (
+        jnp.pad(y_dev, (0, pad_cols), constant_values=-1)
+        if pad_cols
+        else y_dev
+    )
+    # padded columns: same label sentinel keeps them excluded via the
+    # enemy test failing? no — -1 differs from every code, so exclude
+    # them through an infinite enemy threshold instead
+    effE_pad = (
+        jnp.pad(effE, (0, pad_cols), constant_values=inf)
+        if pad_cols
+        else effE
+    )
+    effO_pad = (
+        jnp.pad(effO, (0, pad_cols), constant_values=inf)
+        if pad_cols
+        else effO
+    )
+
+    nblk = min(block, nx)
+    parts = []
+    for s in range(0, nx, nblk):
+        e = min(s + nblk, nx)
+        Sb = S[s:e]
+        yb = y_dev[s:e]
+        eEb = effE[s:e]
+        eOb = effO[s:e]
+        if e - s < nblk:
+            Sb = jnp.pad(Sb, ((0, nblk - (e - s)), (0, 0)))
+            yb = jnp.pad(yb, (0, nblk - (e - s)), constant_values=-1)
+            eEb = jnp.pad(eEb, (0, nblk - (e - s)), constant_values=inf)
+            eOb = jnp.pad(eOb, (0, nblk - (e - s)), constant_values=inf)
+        packed = np.asarray(
+            _block_enemy_packed(
+                S_pad, Sb, y_padded, yb, eEb, effE_pad, eOb, effO_pad,
+                np.int32(s),
+            )
+        )[: e - s]
+        r, c = _decode_packed(packed, nx, row_off=s)
+        parts.append(np.stack([r, c], axis=1))
+    return (
+        np.concatenate(parts) if parts else np.zeros((0, 2), np.int32)
+    )
 
 
 def query_candidates(S_X, QD, locality: int, loc_thresh: int):

@@ -97,6 +97,9 @@ def auto_mesh() -> Mesh | None:
             devices = None
     if devices is None:
         devices = jax.devices()
+    limit = int(os.environ.get("ANNCHOR_TPU_MESH_DEVICES", "0"))
+    if limit > 0:
+        devices = devices[:limit]
     if len(devices) < 2:
         return None
     return Mesh(np.asarray(devices), (PAIR_AXIS,))

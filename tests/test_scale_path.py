@@ -134,3 +134,48 @@ def test_exact_store_dedupes_and_reports_new():
     assert s.add(np.array([5, 7]), np.array([4.0, 6.0])) == 1
     assert np.allclose(s.lookup(np.array([3, 5, 7])), [1.0, 4.0, 6.0])
     assert np.all(np.diff(s.ids) > 0)
+
+
+def test_enemies_scale_safe(_force_sparse):
+    """Instance-selection extras on a sparse scale-path fit: blocked
+    device pair build + row-blocked passes (no (nx, nx) host arrays),
+    VERDICT r1 next #6.  Enemy rows are verified against brute force."""
+    from sklearn.datasets import make_blobs
+
+    import annchor_tpu as at
+
+    nx = 1200
+    X, y = make_blobs(
+        n_samples=nx, centers=8, n_features=4, random_state=5
+    )
+    ann = at.Annchor(
+        X, "euclidean", n_anchors=12, n_neighbors=8,
+        n_samples=1500, p_work=0.15, random_seed=42,
+    )
+    ann.fit()
+    ngi, ngd = ann.get_nearest_enemies(y, nn=3)
+    assert ngi.shape == (nx, 3) and ngd.shape == (nx, 3)
+    # exactness spot check: true nearest enemy by brute force
+    rng2 = np.random.default_rng(8)
+    D = np.linalg.norm(X[:, None, :] - X[None, :, :], axis=2)
+    wrong = 0
+    for i in rng2.integers(0, nx, size=40):
+        enemies = np.flatnonzero(y != y[i])
+        true_d = D[i, enemies].min()
+        if abs(ngd[i, 0] - true_d) > 1e-6:
+            wrong += 1
+    assert wrong <= 2  # approximate pipeline; near-exact expected
+
+    subset = ann.annchor_selective_subset(y)
+    assert 0 < len(subset) < nx
+    member_of = subset
+    # every point must have a representative within its enemy radius
+    radii = ngd[:, 0]
+    ok = (D[:, member_of].min(axis=1) < radii + 1e-9).mean()
+    assert ok > 0.95
+
+    rss = ann.alpha_rss(y)
+    assert 0 < len(rss) < nx
+    # rss members cover all points within their radii by construction
+    cov = (D[:, rss].min(axis=1) <= radii / 1.0 + 1e-9).mean()
+    assert cov > 0.95
