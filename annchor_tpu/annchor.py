@@ -352,14 +352,32 @@ class Annchor:
             self.nx > 4096 or force_sparse
         ) and self._device_pipeline_ok():
             # scale path: pair list built and kept on device — nothing
-            # O(m) crosses the link or touches the host here
-            (
-                ij_i, ij_j, m,
-                self.sid, self.S, self.loc_eff, self.P_cnt,
-            ) = candidate_pairs_device(
-                self.D, self.locality, self.loc_thresh, self.loc_min,
-                verbose=self.verbose,
-            )
+            # O(m) crosses the link or touches the host here.  With a
+            # pair budget (ANNCHOR_TPU_PAIR_CAP per-point candidates)
+            # the two-pass streaming build bounds resident pairs by the
+            # budgeted set, lifting the single-chip HBM wall that caps
+            # coverage at nx ~ 10^5 (SCALE.md).
+            pair_cap = int(os.environ.get("ANNCHOR_TPU_PAIR_CAP", "0"))
+            if pair_cap > 0:
+                from annchor_tpu.ops.locality import (
+                    candidate_pairs_device_budgeted,
+                )
+
+                (
+                    ij_i, ij_j, m,
+                    self.sid, self.S, self.loc_eff, self.P_cnt,
+                ) = candidate_pairs_device_budgeted(
+                    self.D, self.locality, self.loc_thresh,
+                    self.loc_min, pair_cap, verbose=self.verbose,
+                )
+            else:
+                (
+                    ij_i, ij_j, m,
+                    self.sid, self.S, self.loc_eff, self.P_cnt,
+                ) = candidate_pairs_device(
+                    self.D, self.locality, self.loc_thresh,
+                    self.loc_min, verbose=self.verbose,
+                )
             self._IJs = None
             self._ij_dev = (ij_i, ij_j, m)
             self._P_idx = None  # device pipeline builds its own
@@ -367,9 +385,20 @@ class Annchor:
             self.IJs, self.sid, self.S, self.loc_eff = candidate_pairs(
                 self.D, self.locality, self.loc_thresh, self.loc_min
             )
-            self.P_idx, self.P_cnt = pair_ops.build_point_index(
-                self.IJs, self.nx
-            )
+            if self._device_pipeline_ok():
+                # the device pipeline builds its own incidence matrix;
+                # the host copy stays lazy (P_idx property) — skipping
+                # the host comparison sort saves seconds per fit on the
+                # single-core host
+                self._P_idx = None
+                self.P_cnt = (
+                    np.bincount(self.IJs[:, 0], minlength=self.nx)
+                    + np.bincount(self.IJs[:, 1], minlength=self.nx)
+                ).astype(np.int32)
+            else:
+                self.P_idx, self.P_cnt = pair_ops.build_point_index(
+                    self.IJs, self.nx
+                )
         if (self.P_cnt < self.n_neighbors).any():
             raise Exception(
                 "Error: Not enough candidates in pool for all indices.\n"
@@ -420,14 +449,17 @@ class Annchor:
         (reference annchor.py:313-343)."""
         if self._dev is not None:
             # default-sampler semantics, drawn on device: quantile
-            # edges + stratified without-replacement pick without
-            # downloading any feature column
-            self.sample_ixs, self.sample_bins = self._dev.draw_sample(
+            # edges + stratified without-replacement pick + feature
+            # rows + pair coords, all in one device round trip
+            (
+                self.sample_ixs,
+                self.sample_bins,
+                self.sample_features,
+                self.sample_ijs,
+            ) = self._dev.draw_sample(
                 self.sampler, self.n_samples, self.random_seed
             )
             self.n_samples = self.sample_ixs.shape[0]
-            self.sample_features = self._dev.sample_rows(self.sample_ixs)
-            self.sample_ijs = self._dev._pairs_at(self.sample_ixs)
             self.sample_y = self._eval_pairs(self.sample_ijs)
             # ncm flips on device inside regress_update
             return
@@ -510,7 +542,7 @@ class Annchor:
             n_refine = int(
                 (self.p_work * self.N - self.na - self.n_samples) * w
             ) + 1
-            candidates = self._dev.select(
+            candidates, cand_IJ = self._dev.select(
                 self.error_predictor,
                 max(n_refine, 0),
                 nn,
@@ -519,7 +551,7 @@ class Annchor:
             )
             self.nextback = np.zeros(0, dtype=np.int64)
             if candidates.shape[0]:
-                exact = self._eval_pairs(self._dev._pairs_at(candidates))
+                exact = self._eval_pairs(cand_IJ)
                 self._dev.apply_exact(candidates, exact)
             return
         thresh = np.asarray(

@@ -469,7 +469,9 @@ def _select(
     prob = jnp.where(margin < lo, jnp.float32(0.0), prob)
     prob = jnp.where(ncm, prob, jnp.float32(-1.0))
     _, chosen = jax.lax.top_k(prob, n_ref)
-    return chosen, thresh
+    # pair coordinates gathered in-program: the caller feeds them to
+    # the metric engine without a second round trip
+    return chosen, thresh, jnp.take(ij_i, chosen), jnp.take(ij_j, chosen)
 
 
 @functools.partial(jax.jit, static_argnames=("nx", "block"))
@@ -603,6 +605,24 @@ def _gather_rows(lb, ub, dad, ids):
         jnp.take(lb, ids),
         jnp.take(ub, ids),
         jnp.take(dad, ids),
+    )
+
+
+@jax.jit
+def _sample_gather(lb, ub, dad, ij_i, ij_j, ids):
+    """Feature rows + pair coordinates for freshly drawn sample ids in
+    one dispatch (ids may carry -1 padding; callers mask those rows
+    after download).  Fusing this with the draw collapses the
+    per-iteration sampling to a single device round trip — round-trip
+    latency through the TPU relay, not compute, dominates the small-nx
+    fit."""
+    c = jnp.clip(ids, 0, lb.shape[0] - 1)
+    return (
+        jnp.take(lb, c),
+        jnp.take(ub, c),
+        jnp.take(dad, c),
+        jnp.take(ij_i, c),
+        jnp.take(ij_j, c),
     )
 
 
@@ -930,11 +950,26 @@ class DeviceFitState:
             feats[:, 3] = self.anchor_flag[ids]
         return feats
 
+    def _sample_rows_dev(self, ids_dev):
+        """Feature rows + pair coordinates for device-resident sample
+        ids — dispatched without waiting for the draw to download."""
+        c = jnp.maximum(ids_dev, 0)
+        if self.shard is not None:
+            return self.shard.gather_pairs(
+                (self.lb, self.ub, self.dad, self.ij_i, self.ij_j), c
+            )
+        return _sample_gather(
+            self.lb, self.ub, self.dad, self.ij_i, self.ij_j, ids_dev
+        )
+
     def draw_sample(self, sampler, n_samples, random_seed):
-        """Stratified sample drawn on device; only the chosen ids, the
-        per-bin tallies, and the two quantile scalars come down.
-        Mirrors SimpleStratifiedSampler.sample (same budget warnings,
-        same per-loop seed advance)."""
+        """Stratified sample drawn on device.  The draw, the feature
+        rows and the pair coordinates come down in ONE device round
+        trip (round-trip latency dominates at small nx); mirrors
+        SimpleStratifiedSampler.sample (same budget warnings, same
+        per-loop seed advance).
+
+        Returns (ids, bins, features (n, 4), pair coords (n, 2))."""
         from annchor_tpu.samplers import NothingToSample
 
         pool = self.pool
@@ -967,8 +1002,14 @@ class DeviceFitState:
             draw = self.shard.sample_draw
         else:
             draw = _sample_draw
-        ids, got, inner = draw(*args, tuple(quotas))
-        if np.asarray(got).min(initial=2) < 2:
+
+        def run(quotas_t, **kw):
+            ids_d, got_d, inner_d = draw(*args, quotas_t, **kw)
+            rows_d = self._sample_rows_dev(ids_d)
+            return jax.device_get((ids_d, got_d, inner_d, rows_d))
+
+        ids, got, inner, rows = run(tuple(quotas))
+        if got.min(initial=2) < 2:
             # linspace edges landed in density gaps (multimodal
             # distances): retry with equal-mass quantile edges, which
             # cannot produce empty bins, before degrading to uniform
@@ -976,25 +1017,36 @@ class DeviceFitState:
                 "Warning: stratification bins degenerate; "
                 "switching to equal-mass bins."
             )
-            ids, got, inner = draw(
-                *args, tuple(quotas), equal_mass=True
-            )
-            if np.asarray(got).min(initial=2) < 2:
+            ids, got, inner, rows = run(tuple(quotas), equal_mass=True)
+            if got.min(initial=2) < 2:
                 # last resort: uniform draw, keeping the equal-mass
                 # edges for the downstream per-bin models
                 print(
                     "Warning: stratification bins degenerate; "
                     "sampling uniformly."
                 )
-                ids, got, _ = draw(*args, (adjusted,))
+                ids, got, _, rows = run((adjusted,))
         ids = np.asarray(ids, dtype=np.int64)
-        ids = ids[ids >= 0]
+        keep = ids >= 0
+        ids = ids[keep]
         if ids.shape[0] != adjusted:
             print("Warning: Some bins contained fewer samples than requested")
         bins = np.concatenate(
             ([-np.inf], np.asarray(inner, np.float64), [np.inf])
         )
-        return ids, bins
+        lb, ub, dad, ii, jj = (np.asarray(r)[keep] for r in rows)
+        feats = np.empty((ids.shape[0], 4), dtype=np.float64)
+        feats[:, 0] = lb
+        feats[:, 1] = ub
+        feats[:, 2] = dad
+        if self.sparse:
+            # sampled ids come from the not-computed pool, which
+            # excludes anchor pairs by construction
+            feats[:, 3] = 0.0
+        else:
+            feats[:, 3] = self.anchor_flag[ids]
+        IJ = np.stack([ii, jj], axis=1).astype(np.int64)
+        return ids, bins, feats, IJ
 
     def regress_update(self, regression, sample_ids, sample_y):
         """Upload the fitted coefficients, predict+clip every pair on
@@ -1056,7 +1108,9 @@ class DeviceFitState:
         return grid, lo, hi, inv
 
     def select(self, error_predictor, n_ref, nn, guarantee, nmin):
-        """Device selection; downloads only the chosen ids."""
+        """Device selection.  Returns (chosen pair ids, (n_ref, 2)
+        pair coordinates) — coordinates are gathered in-program so the
+        whole selection is one device round trip."""
         bins = error_predictor.partition_bins
         inner = jnp.asarray(np.asarray(bins[1:-1], dtype=np.float32))
         grid, lo, hi, inv = self._cdf_tables(error_predictor)
@@ -1064,9 +1118,10 @@ class DeviceFitState:
         n_ref = int(min(n_ref, self.pool))
         if n_ref <= 0:
             self.thresh = None
-            return np.zeros(0, dtype=np.int64)
+            empty = np.zeros(0, dtype=np.int64)
+            return empty, np.zeros((0, 2), dtype=np.int64)
         if self.shard is not None:
-            chosen, thresh = self.shard.select(
+            chosen, thresh, sel_i, sel_j = self.shard.select(
                 self.RA, self.ncm, self.ij_i, self.ij_j, self.dad,
                 self.P_idx_d, inner,
                 jnp.asarray(grid), jnp.asarray(lo), jnp.asarray(inv),
@@ -1074,7 +1129,7 @@ class DeviceFitState:
                 int(nn), n_ref, bool(guarantee), int(nmin),
             )
         else:
-            chosen, thresh = _select(
+            chosen, thresh, sel_i, sel_j = _select(
                 self.RA, self.ncm, self.ij_i, self.ij_j, self.dad,
                 self.P_idx_d, inner,
                 jnp.asarray(grid), jnp.asarray(lo), jnp.asarray(inv),
@@ -1082,7 +1137,9 @@ class DeviceFitState:
                 int(nn), n_ref, bool(guarantee), int(nmin),
             )
         self.thresh = thresh  # device-resident; used by tighten
-        return np.asarray(chosen, dtype=np.int64)
+        chosen, sel_i, sel_j = jax.device_get((chosen, sel_i, sel_j))
+        IJ = np.stack([sel_i, sel_j], axis=1).astype(np.int64)
+        return np.asarray(chosen, dtype=np.int64), IJ
 
     def apply_exact(self, ids, vals):
         idd = jnp.asarray(ids.astype(np.int32))

@@ -436,6 +436,174 @@ def candidate_pairs_device(
     return ij_i, ij_j, m, np.asarray(sid), np.asarray(S), eff, P_cnt
 
 
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _pairs_lb(D32, ij_i, ij_j, chunk: int = 1 << 21):
+    """Triangle lower bounds for a pair list, chunked in-program (the
+    (m, na) gather temps are the memory hazard at band scale)."""
+    m = ij_i.shape[0]
+    chunk = min(chunk, max(m, 1))
+    nchunks = (m + chunk - 1) // chunk
+    padm = nchunks * chunk
+    gi_all = jnp.pad(ij_i, (0, padm - m))
+    gj_all = jnp.pad(ij_j, (0, padm - m))
+
+    def body(t, lb):
+        gi = jax.lax.dynamic_slice(gi_all, (t * chunk,), (chunk,))
+        gj = jax.lax.dynamic_slice(gj_all, (t * chunk,), (chunk,))
+        Di = jnp.take(D32, gi, axis=0)
+        Dj = jnp.take(D32, gj, axis=0)
+        lb_c = jnp.max(jnp.abs(Di - Dj), axis=1)
+        return jax.lax.dynamic_update_slice(lb, lb_c, (t * chunk,))
+
+    lb = jax.lax.fori_loop(
+        0, nchunks, body, jnp.zeros(padm, dtype=jnp.float32)
+    )
+    return lb[:m]
+
+
+@functools.partial(jax.jit, static_argnames=("nbins",))
+def _hist_update(hist, ij_i, ij_j, lb, inv_bin, nbins: int):
+    """Fold a band's pair lower bounds into the per-point histogram."""
+    b = jnp.clip((lb * inv_bin).astype(jnp.int32), 0, nbins - 1)
+    hist = hist.at[ij_i, b].add(1, mode="drop")
+    return hist.at[ij_j, b].add(1, mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("nbins",))
+def _hist_thresholds(hist, cap, bin_w, nbins: int):
+    """Per-point lb threshold admitting >= cap pairs (bin-resolution
+    conservative: the NEXT bin edge above the cap-th smallest lb).
+    Points with fewer than cap candidates keep everything (+inf)."""
+    cum = jnp.cumsum(hist, axis=1)
+    reached = cum >= cap
+    first = jnp.argmax(reached, axis=1)
+    thr = (first.astype(jnp.float32) + 1.0) * bin_w
+    return jnp.where(reached[:, -1], thr, jnp.float32(np.inf))
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _compact_kept(ij_i, ij_j, keep, cap: int):
+    ids = jnp.flatnonzero(keep, size=cap, fill_value=0)
+    return jnp.take(ij_i, ids), jnp.take(ij_j, ids)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _keep_counts(keep, ij_i, ij_j, nx_arr):
+    cnt = jnp.zeros_like(nx_arr)
+    w = keep.astype(jnp.int32)
+    cnt = cnt.at[ij_i].add(w, mode="drop")
+    return cnt.at[ij_j].add(w, mode="drop")
+
+
+def candidate_pairs_device_budgeted(
+    D,
+    locality: int,
+    loc_thresh: int,
+    loc_min: int,
+    per_point_cap: int,
+    block: int = 4096,
+    nbins: int = 256,
+    verbose: bool = False,
+):
+    """Two-pass streaming pair build: tracked pairs bounded by the
+    *budgeted* set (each point's `per_point_cap` smallest-lower-bound
+    candidates), not the filter-admitted set.
+
+    Pass 1 streams row bands of the admitted mask, extracts each
+    band's pairs on device, computes their triangle lower bounds and
+    folds them into a per-point lb histogram — O(nx * nbins) state,
+    never O(m_admitted).  Pass 2 derives a per-point lb threshold
+    admitting >= cap candidates (bin-conservative) and re-streams the
+    bands keeping pairs under either endpoint's threshold.  This lifts
+    the single-chip memory wall at nx ~ 10^5: permissive filter
+    configs whose admitted set is 10^8+ pairs stream through while the
+    resident pair state stays O(nx * cap) — and the lb criterion keeps
+    exactly the candidates the downstream ranking would have spent its
+    budget on.
+
+    Returns (ij_i, ij_j, m, sid, S, eff, P_cnt) like
+    candidate_pairs_device."""
+    from annchor_tpu.progress import progress
+
+    nx = np.asarray(D).shape[0]
+    S, sid = anchor_membership(D, locality)
+    eff = effective_thresholds(
+        S, loc_thresh, loc_min, block=block, locality=locality
+    )
+    eff_j = jnp.asarray(eff)
+    D32 = jnp.asarray(np.asarray(D), dtype=jnp.float32)
+    lb_max = float(2.0 * np.asarray(D).max()) + 1e-6
+    inv_bin = np.float32(nbins / lb_max)
+    bin_w = np.float32(lb_max / nbins)
+
+    nblk = min(block, nx)
+    while nblk * nx > (1 << 31) - 1 and nblk > 256:
+        nblk //= 2
+
+    # ---- pass 1: band totals + lb histograms -------------------------
+    blocks, totals = [], []
+    hist = jnp.zeros((nx, nbins), dtype=jnp.int32)
+    for s in progress(
+        range(0, nx, nblk), "pair-budget pass 1", verbose
+    ):
+        e = min(s + nblk, nx)
+        Sb = S[s:e]
+        eb = eff_j[s:e]
+        if e - s < nblk:
+            Sb = jnp.pad(Sb, ((0, nblk - (e - s)), (0, 0)))
+            eb = jnp.pad(eb, (0, nblk - (e - s)),
+                         constant_values=np.float32(np.inf))
+        t, _, _ = _block_keep_total(S, Sb, eb, eff_j, np.int32(s))
+        t = int(t)
+        blocks.append((s, Sb, eb, t))
+        totals.append(t)
+        if t == 0:
+            continue
+        cap = _cap_bucket(t)
+        bi, bj = _block_keep_extract(S, Sb, eb, eff_j, np.int32(s), cap)
+        bi, bj = bi[:t], bj[:t]
+        lb = _pairs_lb(D32, bi, bj)
+        hist = _hist_update(hist, bi, bj, lb, inv_bin, nbins)
+    np.asarray(hist[:1, :1])  # sync: bound in-flight band state
+
+    thr = _hist_thresholds(hist, jnp.int32(per_point_cap), bin_w, nbins)
+    del hist
+
+    # ---- pass 2: re-extract, keep pairs under either threshold -------
+    parts_i, parts_j = [], []
+    m = 0
+    P_cnt = jnp.zeros(nx, dtype=jnp.int32)
+    for (s, Sb, eb, t) in progress(
+        blocks, "pair-budget pass 2", verbose
+    ):
+        if t == 0:
+            continue
+        cap = _cap_bucket(t)
+        bi, bj = _block_keep_extract(S, Sb, eb, eff_j, np.int32(s), cap)
+        bi, bj = bi[:t], bj[:t]
+        lb = _pairs_lb(D32, bi, bj)
+        keep = lb <= jnp.maximum(jnp.take(thr, bi), jnp.take(thr, bj))
+        kept = int(jnp.sum(keep, dtype=jnp.int32))
+        P_cnt = _keep_counts(keep, bi, bj, P_cnt)
+        if kept == 0:
+            continue
+        kcap = _cap_bucket(kept)
+        ki, kj = _compact_kept(bi, bj, keep, kcap)
+        parts_i.append(ki[:kept])
+        parts_j.append(kj[:kept])
+        m += kept
+    if parts_i:
+        ij_i = jnp.concatenate(parts_i)
+        ij_j = jnp.concatenate(parts_j)
+    else:
+        ij_i = jnp.zeros(0, jnp.int32)
+        ij_j = jnp.zeros(0, jnp.int32)
+    return (
+        ij_i, ij_j, m, np.asarray(sid), np.asarray(S), eff,
+        np.asarray(P_cnt).astype(np.int32),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _block_enemy_packed(
     S, S_block, y, y_block, effE_blk, effE, effO_blk, effO, row_off
@@ -530,21 +698,34 @@ def enemy_candidate_pairs(S, y, eff_e, loc_eff, block: int = 4096):
     )
 
 
-def query_candidates(S_X, QD, locality: int, loc_thresh: int):
+def query_candidates(
+    S_X, QD, locality: int, loc_thresh: int, block: int = 4096
+):
     """Candidate database points for each query (reference
     get_query_locality, query_functions.py:18-37): counts of shared
     anchors between query q's nearest-anchor set and each database
     point's set; no adaptive threshold, no symmetrisation.
 
-    Returns a list of np arrays (candidate indices per query).
-    """
+    Returns flat int64 arrays (db_ids, q_ids) — already in the padded
+    pair layout the query pipeline consumes, built with one vectorised
+    nonzero per query block instead of nq Python iterations."""
     Sq, _ = anchor_membership(QD, locality)
-    counts = np.asarray(
-        jax.lax.dot_general(
-            jnp.asarray(Sq),
-            jnp.asarray(S_X),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    Sq = jnp.asarray(Sq)
+    SX = jnp.asarray(S_X)
+    nq = Sq.shape[0]
+    parts_db, parts_q = [], []
+    for s in range(0, nq, block):
+        counts = np.asarray(
+            jax.lax.dot_general(
+                Sq[s : s + block],
+                SX,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         )
-    )
-    return [np.nonzero(row >= loc_thresh)[0] for row in counts]
+        qs, dbs = np.nonzero(counts >= loc_thresh)
+        parts_q.append((qs + s).astype(np.int64))
+        parts_db.append(dbs.astype(np.int64))
+    if not parts_db:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    return np.concatenate(parts_db), np.concatenate(parts_q)

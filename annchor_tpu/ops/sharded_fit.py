@@ -373,7 +373,6 @@ class ShardedFit:
                 inner, cdf_grid, cdf_lo, cdf_inv, cdf_hi,
             ):
                 start = _shard_bounds(PAIR_AXIS, shard)
-                row0 = _shard_bounds(PAIR_AXIS, rows_shard)
                 RA_pad = jnp.concatenate([RA_full, jnp.array([F32_INF])])
                 ncm_ext = jnp.concatenate([ncm_full, jnp.array([False])])
 
@@ -450,14 +449,24 @@ class ShardedFit:
                 _, _, chosen = jax.lax.sort(
                     (-v_all, g_all, g_all), num_keys=2
                 )
-                return chosen[:n_ref], thresh[:nx]
+                chosen = chosen[:n_ref]
+                # pair coordinates via owner-contribution psum
+                locs, inb = _local_ids(chosen, start, shard)
+                locc = jnp.where(inb, locs, 0)
+                sel_i = jax.lax.psum(
+                    jnp.where(inb, jnp.take(ij_i, locc), 0), PAIR_AXIS
+                )
+                sel_j = jax.lax.psum(
+                    jnp.where(inb, jnp.take(ij_j, locc), 0), PAIR_AXIS
+                )
+                return chosen, thresh[:nx], sel_i, sel_j
 
             specs_p = P(PAIR_AXIS)
             return self._shmap(
                 body,
                 (P(), P(), specs_p, specs_p, specs_p, specs_p)
                 + (P(),) * 5,
-                (P(), P()),
+                (P(), P(), P(), P()),
             )
 
         fn = self._get(

@@ -31,8 +31,12 @@ def get_query_anchor_dists(ann, Q, geq):
     nq = len(Q)
     na = ann.n_anchors
     XA = _anchor_objects(ann.X, ann.A)
-    IJ = np.array(
-        [[i, j] for j in range(nq) for i in range(na)], dtype=np.int64
+    IJ = np.stack(
+        [
+            np.tile(np.arange(na, dtype=np.int64), nq),
+            np.repeat(np.arange(nq, dtype=np.int64), na),
+        ],
+        axis=1,
     )
     D = np.asarray(geq(ann.f, XA, Q, IJ), dtype=np.float64)
     return D.reshape(nq, na)
@@ -40,16 +44,12 @@ def get_query_anchor_dists(ann, Q, geq):
 
 def get_query_features(ann, Q, QD, check):
     """Pairs, padded index and features for the query candidates
-    (reference query_functions.py:40-129)."""
+    (reference query_functions.py:40-129).  `check` is the flat
+    (db_ids, q_ids) candidate layout from ops.locality.query_candidates
+    — no per-query Python assembly."""
     nq = len(Q)
-    IJs = np.concatenate(
-        [
-            np.stack(
-                [check[i], np.full(check[i].shape, i, dtype=np.int64)], axis=1
-            )
-            for i in range(nq)
-        ]
-    ).astype(np.int64)
+    db_ids, q_ids = check
+    IJs = np.stack([db_ids, q_ids], axis=1)
     P_idx, P_cnt = pair_ops.build_point_index_single(IJs[:, 1], nq)
 
     lb, ub, dad = bounds_and_dad(ann.D, IJs[:, 0], IJs[:, 1], DJ=QD)

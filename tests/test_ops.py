@@ -114,12 +114,12 @@ def test_query_candidates(state, rng):
     _, D, _ = state
     QD = np.abs(rng.normal(size=(5, D.shape[1])))
     S, _ = anchor_membership(D, 5)
-    cands = query_candidates(np.asarray(S), QD, 5, 2)
+    db_ids, q_ids = query_candidates(np.asarray(S), QD, 5, 2)
     Sq, _ = anchor_membership(QD, 5)
     counts = np.asarray(Sq) @ np.asarray(S).T
     for q in range(5):
         np.testing.assert_array_equal(
-            cands[q], np.nonzero(counts[q] >= 2)[0]
+            db_ids[q_ids == q], np.nonzero(counts[q] >= 2)[0]
         )
 
 
