@@ -718,7 +718,8 @@ class DeviceFitState:
             self.m = ann.IJs.shape[0]
             self.ij_i = jnp.asarray(ann.IJs[:, 0].astype(np.int32))
             self.ij_j = jnp.asarray(ann.IJs[:, 1].astype(np.int32))
-            jax.block_until_ready((self.ij_i, self.ij_j))
+            if _dbg:  # sync only when timing stages
+                jax.block_until_ready((self.ij_i, self.ij_j))
         _tick("ij upload")
 
         # multi-chip: shard the whole pair state over the device mesh

@@ -489,9 +489,8 @@ def _compact_kept(ij_i, ij_j, keep, cap: int):
 
 @functools.partial(jax.jit, static_argnames=())
 def _keep_counts(keep, ij_i, ij_j, nx_arr):
-    cnt = jnp.zeros_like(nx_arr)
     w = keep.astype(jnp.int32)
-    cnt = cnt.at[ij_i].add(w, mode="drop")
+    cnt = nx_arr.at[ij_i].add(w, mode="drop")
     return cnt.at[ij_j].add(w, mode="drop")
 
 

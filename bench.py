@@ -60,10 +60,12 @@ def main():
     # BASELINE.md "First run excludes numba JIT compile time")
     _, warm_s = build()
 
-    # best of five timed runs: dispatch/transfer latency through a
+    # best of eight timed runs: dispatch/transfer latency through a
     # remote-TPU tunnel is noisy (observed 3-9 s spread on identical
-    # work), and timeit-style minimums are the stable figure
-    runs = [build() for _ in range(5)]
+    # work, and whole sessions fluctuate ~2x), and timeit-style
+    # minimums are the stable figure — extra attempts cost ~3 s each
+    # against a 140 s warm-up, so buy down the session-level variance
+    runs = [build() for _ in range(8)]
     dt = min(r[1] for r in runs)
     errors = max(
         at.compare_neighbor_graphs(r[0].neighbor_graph, gt, k)

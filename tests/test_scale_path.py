@@ -207,3 +207,33 @@ def test_budgeted_pair_build_fit(_force_sparse):
         bf.neighbor_graph, ann.neighbor_graph, 10
     )
     assert err <= 2
+
+
+@pytest.mark.parametrize("cap", [25, 10**6])
+def test_budgeted_pair_build_multiband_counts(cap):
+    """Multi-band budgeted build: returned P_cnt must equal the counts
+    recomputed from the pair list (regression: _keep_counts once reset
+    the accumulator per band, so P_cnt held only the last band's
+    counts and large fits tripped the not-enough-candidates raise),
+    and a huge cap must reproduce the unbudgeted build exactly."""
+    from annchor_tpu.ops.locality import candidate_pairs_device_budgeted
+
+    rng = np.random.default_rng(7)
+    nx = 900
+    D = rng.random((nx, 16))
+    ij_i, ij_j, m, sid, S, eff, P_cnt = candidate_pairs_device_budgeted(
+        D, 5, 2, 30, cap, block=256
+    )
+    cnt = (
+        np.bincount(np.asarray(ij_i), minlength=nx)
+        + np.bincount(np.asarray(ij_j), minlength=nx)
+    )
+    assert (np.asarray(P_cnt) == cnt).all()
+    assert int(P_cnt.min()) >= min(cap, 25)
+    if cap >= nx * nx:
+        u_i, u_j, um, *_ = candidate_pairs_device(D, 5, 2, 30)
+        assert um == m
+        assert (
+            _pairs_key(np.stack([np.asarray(ij_i), np.asarray(ij_j)], 1))
+            == _pairs_key(np.stack([np.asarray(u_i), np.asarray(u_j)], 1))
+        ).all()
