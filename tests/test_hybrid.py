@@ -199,3 +199,49 @@ def test_graph_sp_pipeline_exactness(small_graph):
     ann.fit()
     err = at.compare_neighbor_graphs(bf.neighbor_graph, ann.neighbor_graph, 8)
     assert err <= 2
+
+
+def test_certify_graph_expansion_recovers_scout_misranks():
+    """Graph-expansion certify (Annchor._certify): a scout whose
+    deterministic per-pair noise buries some true neighbours deep in
+    its ranking must still yield the exact graph — the expansion
+    scout-screens neighbours-of-neighbours of each exact top list and
+    certifies those within the residual-calibrated margin.  With the
+    expansion disabled the same fit leaves errors."""
+    from annchor_tpu.metrics import get_function_from_input
+
+    rng = np.random.default_rng(1234)
+    X = rng.normal(size=(300, 4))
+    X[150:] += 3.0
+    base = get_function_from_input("euclidean")
+
+    def noisy_scout(Xa, Za, IJ):
+        IJ = np.asarray(IJ)
+        d = np.asarray(base.batch(Xa, Za, IJ), dtype=np.float64)
+        i, j = IJ[:, 0], IJ[:, 1]
+        # symmetric deterministic noise (same pair -> same value)
+        return d + 0.3 * np.sin(0.7 * (i + j) + 0.13 * ((i * j) % 97))
+
+    def build(expand_rounds):
+        m = at.metrics.Metric(
+            base.scalar, base.batch, name="euclid_noisy", scout=noisy_scout
+        )
+        ann = at.Annchor(
+            X, m, n_anchors=15, n_neighbors=10, p_work=0.3, random_seed=42
+        )
+        ann.certify_pad = 2
+        ann.certify_expand_rounds = expand_rounds
+        ann.fit()
+        return ann
+
+    bf = at.BruteForce(X, "euclidean")
+    bf.fit()
+
+    ann0 = build(0)
+    err0 = at.compare_neighbor_graphs(bf.neighbor_graph, ann0.neighbor_graph, 10)
+    ann2 = build(2)
+    err2 = at.compare_neighbor_graphs(bf.neighbor_graph, ann2.neighbor_graph, 10)
+    assert err0 > 0          # the noise really buries neighbours
+    assert err2 == 0         # expansion recovers every one of them
+    # certification stays a small fraction of brute force
+    assert ann2.evals < 0.5 * (300 * 299) // 2
