@@ -158,6 +158,10 @@ class Annchor:
         self._IJs = None
         self._ij_dev = None  # device-built pair list (scale path)
         self._dev = None  # device-resident state (ops.device_pipeline)
+        self._dev_eval = None  # device-id metric eval (fused pipeline)
+        self._S_raw = None  # lazy locality by-products (S/sid/loc_eff)
+        self._sid_raw = None
+        self._loc_eff_raw = None
         self.neighbor_graph = None
 
         self.backend = backend
@@ -344,6 +348,46 @@ class Annchor:
     def P_idx(self, value):
         self._P_idx = value
 
+    # locality by-products stay device-resident through the fit (the
+    # fit never reads them; query/enemies/persistence materialise
+    # lazily — the S download alone is nx^2 bytes of link traffic)
+
+    @property
+    def S(self):
+        if self._S_raw is not None and not isinstance(
+            self._S_raw, np.ndarray
+        ):
+            self._S_raw = np.asarray(self._S_raw)
+        return self._S_raw
+
+    @S.setter
+    def S(self, value):
+        self._S_raw = value
+
+    @property
+    def sid(self):
+        if self._sid_raw is not None and not isinstance(
+            self._sid_raw, np.ndarray
+        ):
+            self._sid_raw = np.asarray(self._sid_raw)
+        return self._sid_raw
+
+    @sid.setter
+    def sid(self, value):
+        self._sid_raw = value
+
+    @property
+    def loc_eff(self):
+        if self._loc_eff_raw is not None and not isinstance(
+            self._loc_eff_raw, np.ndarray
+        ):
+            self._loc_eff_raw = np.asarray(self._loc_eff_raw)
+        return self._loc_eff_raw
+
+    @loc_eff.setter
+    def loc_eff(self, value):
+        self._loc_eff_raw = value
+
     def get_locality(self):
         """Candidate pairs from shared near-anchor sets
         (reference annchor.py:208-256). Builds IJs and the padded
@@ -440,6 +484,7 @@ class Annchor:
                 "is anchor",
             ]
             self._dev = DeviceFitState(self)
+            self._dev_eval = self._make_device_eval()
             return
         (
             self.feature_names,
@@ -447,23 +492,60 @@ class Annchor:
             self.not_computed_mask,
         ) = self.get_features_IJ(self.IJs)
 
+    def _make_device_eval(self):
+        """Device-id metric eval closure for the fused fit pipeline,
+        or None.  Only the default evaluator qualifies (a user
+        get_exact_ijs and the scout hybrid keep the host hop, whose
+        exact call sequence is part of their contract), and only off
+        the sharded path (whose bit-identity tests pin the unfused
+        flow)."""
+        if os.environ.get("ANNCHOR_TPU_DISABLE_FUSED_EVAL"):
+            return None
+        if self._scouting or self._dev is None or self._dev.shard is not None:
+            return None
+        if not getattr(self.get_exact_ijs, "_annchor_default", False):
+            return None
+        eng = getattr(self.metric, "batch", None)
+        if eng is None or not hasattr(eng, "batch_dev"):
+            return None
+        try:
+            if not eng.batch_dev_ready(self.X):
+                return None
+        except Exception:
+            return None
+        X = self.X
+
+        def run(I, J):
+            return eng.batch_dev(X, I, J)
+
+        return run
+
     def get_sample(self):
         """Stratified sample of pairs + their exact distances
         (reference annchor.py:313-343)."""
         if self._dev is not None:
             # default-sampler semantics, drawn on device: quantile
             # edges + stratified without-replacement pick + feature
-            # rows + pair coords, all in one device round trip
+            # rows + pair coords (+ the exact sample distances when the
+            # metric has a device-id engine), all in one round trip
             (
                 self.sample_ixs,
                 self.sample_bins,
                 self.sample_features,
                 self.sample_ijs,
+                sample_y,
             ) = self._dev.draw_sample(
-                self.sampler, self.n_samples, self.random_seed
+                self.sampler,
+                self.n_samples,
+                self.random_seed,
+                batch_dev=self._dev_eval,
             )
             self.n_samples = self.sample_ixs.shape[0]
-            self.sample_y = self._eval_pairs(self.sample_ijs)
+            if sample_y is not None:
+                self.sample_y = sample_y
+                self.evals += sample_y.shape[0]
+            else:
+                self.sample_y = self._eval_pairs(self.sample_ijs)
             # ncm flips on device inside regress_update
             return
         (
@@ -545,6 +627,18 @@ class Annchor:
             n_refine = int(
                 (self.p_work * self.N - self.na - self.n_samples) * w
             ) + 1
+            self.nextback = np.zeros(0, dtype=np.int64)
+            if self._dev_eval is not None:
+                n_done = self._dev.select_refine_fused(
+                    self.error_predictor,
+                    max(n_refine, 0),
+                    nn,
+                    it == 0,
+                    3 * nn // 2,
+                    self._dev_eval,
+                )
+                self.evals += n_done
+                return
             candidates, cand_IJ = self._dev.select(
                 self.error_predictor,
                 max(n_refine, 0),
@@ -552,7 +646,6 @@ class Annchor:
                 it == 0,
                 3 * nn // 2,
             )
-            self.nextback = np.zeros(0, dtype=np.int64)
             if candidates.shape[0]:
                 exact = self._eval_pairs(cand_IJ)
                 self._dev.apply_exact(candidates, exact)

@@ -85,6 +85,7 @@ class _DenseBatchEngine:
         self.chunk = chunk
         self._jit = None
         self._sharded = {}
+        self._dev_cache = None
 
     def _raw_kernel(self):
         import jax.numpy as jnp
@@ -162,6 +163,26 @@ class _DenseBatchEngine:
             )
             outs.append(d[: d.shape[0] - pad] if pad else d)
         return np.concatenate(outs).astype(np.float64)
+
+    def _data_dev(self, X):
+        hit = self._dev_cache
+        if hit is not None and hit[0] is X:
+            return hit[1]
+        import jax.numpy as jnp
+
+        Xd = jnp.asarray(np.asarray(X), dtype=jnp.float32)
+        self._dev_cache = (X, Xd)  # strong ref pins id(X)
+        return Xd
+
+    def batch_dev_ready(self, X):
+        return True
+
+    def batch_dev(self, X, I, J):
+        """Device-id eval: I, J int32 device arrays -> device f32
+        distances, no host hop (lets the fit pipeline chain
+        select -> eval -> scatter in one dispatch sequence)."""
+        Xd = self._data_dev(X)
+        return self._kernel()(Xd, Xd, I, J)
 
     def fused_maxmin(self, X, na, first_ix, verbose=False):
         """Whole greedy max-min anchor loop as one device program
@@ -308,6 +329,35 @@ class _LevenshteinEngine:
                 and not pallas_interpret()  # compiled mode only
             )
         return self._pallas_ok
+
+    def batch_dev_ready(self, X):
+        return self._encode(X)[2] is not None
+
+    def batch_dev(self, X, I, J):
+        """Device-id eval (Myers tiers only): I, J int32 device
+        arrays -> device f32 distances, no host hop."""
+        import jax.numpy as jnp
+
+        myers = self._encode(X)[2]
+        if myers is None:
+            return None
+        if self._use_pallas():
+            from annchor_tpu.ops.levenshtein_pallas import (
+                TILE,
+                pallas_myers_pairs_dev,
+            )
+
+            B = I.shape[0]
+            pad = (-B) % TILE
+            if pad:
+                I = jnp.concatenate([I, jnp.zeros(pad, I.dtype)])
+                J = jnp.concatenate([J, jnp.zeros(pad, J.dtype)])
+            d = pallas_myers_pairs_dev(myers, I, J)[:B]
+        else:
+            from annchor_tpu.ops.levenshtein_myers import myers_pairs_dev
+
+            d = myers_pairs_dev(myers, I, J)
+        return d.astype(jnp.float32)
 
     def fused_maxmin(self, X, na, first_ix, verbose=False):
         """Fused greedy max-min anchors via the one-vs-all Myers

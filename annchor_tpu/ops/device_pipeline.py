@@ -963,14 +963,16 @@ class DeviceFitState:
             self.lb, self.ub, self.dad, self.ij_i, self.ij_j, ids_dev
         )
 
-    def draw_sample(self, sampler, n_samples, random_seed):
+    def draw_sample(self, sampler, n_samples, random_seed, batch_dev=None):
         """Stratified sample drawn on device.  The draw, the feature
-        rows and the pair coordinates come down in ONE device round
-        trip (round-trip latency dominates at small nx); mirrors
+        rows, the pair coordinates — and with ``batch_dev`` the exact
+        sample distances too — come down in ONE device round trip
+        (round-trip latency dominates at small nx); mirrors
         SimpleStratifiedSampler.sample (same budget warnings, same
         per-loop seed advance).
 
-        Returns (ids, bins, features (n, 4), pair coords (n, 2))."""
+        Returns (ids, bins, features (n, 4), pair coords (n, 2),
+        sample distances (n,) or None)."""
         from annchor_tpu.samplers import NothingToSample
 
         pool = self.pool
@@ -1007,9 +1009,16 @@ class DeviceFitState:
         def run(quotas_t, **kw):
             ids_d, got_d, inner_d = draw(*args, quotas_t, **kw)
             rows_d = self._sample_rows_dev(ids_d)
-            return jax.device_get((ids_d, got_d, inner_d, rows_d))
+            if batch_dev is not None:
+                y_d = batch_dev(
+                    rows_d[3].astype(jnp.int32),
+                    rows_d[4].astype(jnp.int32),
+                )
+                return jax.device_get((ids_d, got_d, inner_d, rows_d, y_d))
+            got = jax.device_get((ids_d, got_d, inner_d, rows_d))
+            return got + (None,)
 
-        ids, got, inner, rows = run(tuple(quotas))
+        ids, got, inner, rows, y = run(tuple(quotas))
         if got.min(initial=2) < 2:
             # linspace edges landed in density gaps (multimodal
             # distances): retry with equal-mass quantile edges, which
@@ -1018,7 +1027,7 @@ class DeviceFitState:
                 "Warning: stratification bins degenerate; "
                 "switching to equal-mass bins."
             )
-            ids, got, inner, rows = run(tuple(quotas), equal_mass=True)
+            ids, got, inner, rows, y = run(tuple(quotas), equal_mass=True)
             if got.min(initial=2) < 2:
                 # last resort: uniform draw, keeping the equal-mass
                 # edges for the downstream per-bin models
@@ -1026,7 +1035,7 @@ class DeviceFitState:
                     "Warning: stratification bins degenerate; "
                     "sampling uniformly."
                 )
-                ids, got, _, rows = run((adjusted,))
+                ids, got, _, rows, y = run((adjusted,))
         ids = np.asarray(ids, dtype=np.int64)
         keep = ids >= 0
         ids = ids[keep]
@@ -1047,7 +1056,9 @@ class DeviceFitState:
         else:
             feats[:, 3] = self.anchor_flag[ids]
         IJ = np.stack([ii, jj], axis=1).astype(np.int64)
-        return ids, bins, feats, IJ
+        if y is not None:
+            y = np.asarray(y, dtype=np.float64)[keep]
+        return ids, bins, feats, IJ, y
 
     def regress_update(self, regression, sample_ids, sample_y):
         """Upload the fitted coefficients, predict+clip every pair on
@@ -1142,6 +1153,40 @@ class DeviceFitState:
         IJ = np.stack([sel_i, sel_j], axis=1).astype(np.int64)
         return np.asarray(chosen, dtype=np.int64), IJ
 
+    def select_refine_fused(
+        self, error_predictor, n_ref, nn, guarantee, nmin, batch_dev
+    ):
+        """Selection, device-id metric eval and the exact scatter as
+        one dispatch chain with a single blocking download (ids +
+        values for the host mirrors).  Relay round-trip latency
+        (~30 ms here) dominates the per-iteration cost at small nx;
+        the unfused path blocks 4-5 times per iteration."""
+        bins = error_predictor.partition_bins
+        inner = jnp.asarray(np.asarray(bins[1:-1], dtype=np.float32))
+        grid, lo, hi, inv = self._cdf_tables(error_predictor)
+
+        n_ref = int(min(n_ref, self.pool))
+        if n_ref <= 0:
+            self.thresh = None
+            return 0
+        chosen, thresh, sel_i, sel_j = _select(
+            self.RA, self.ncm, self.ij_i, self.ij_j, self.dad,
+            self.P_idx_d, inner,
+            jnp.asarray(grid), jnp.asarray(lo), jnp.asarray(inv),
+            jnp.asarray(hi),
+            int(nn), n_ref, bool(guarantee), int(nmin),
+        )
+        self.thresh = thresh
+        y = batch_dev(sel_i.astype(jnp.int32), sel_j.astype(jnp.int32))
+        self.RA, self.ncm = _scatter_exact(
+            self.RA, self.ncm, chosen, y.astype(jnp.float32)
+        )
+        ch, yh = jax.device_get((chosen, y))
+        self._store_exact(
+            np.asarray(ch, np.int64), np.asarray(yh, np.float64)
+        )
+        return n_ref
+
     def apply_exact(self, ids, vals):
         idd = jnp.asarray(ids.astype(np.int32))
         vd = jnp.asarray(np.asarray(vals, np.float32))
@@ -1216,6 +1261,10 @@ class DeviceFitState:
             pair_ids, partners, ra_sel = _knn(
                 self.RA, self.ncm, self.P_idx_d, self.ij_i, self.ij_j, nn
             )
+        # one blocking download for all three result arrays
+        pair_ids, partners, ra_sel = jax.device_get(
+            (pair_ids, partners, ra_sel)
+        )
         pair_ids = np.asarray(pair_ids, dtype=np.int64)
         ngi = np.asarray(partners, dtype=np.int64)
         ra_sel = np.asarray(ra_sel, dtype=np.float64)

@@ -266,22 +266,24 @@ def _myers_batch(planes, la, b_ids, lb):
 
 
 @jax.jit
-def _myers_column(peq, la_all, t_ids, t_len):
+def _myers_column(planes, la_all, t_ids, t_len):
     """Edit distance from ONE text string to every dataset string.
 
     One-vs-all structure is the key TPU win: the text character at
-    step j is a *scalar*, so Eq = peq[:, c_j, :] is a dynamic slice —
-    no per-lane gather at all (contrast _myers_batch, where every pair
-    reads a different symbol).  Used for anchor/query distance columns
-    (reference pickers.py:43-50 hot loop #1).
+    step j is a *scalar*, so Eq is K broadcast bitplane selects on a
+    scalar bit — no per-lane gather and, crucially, no per-step
+    dynamic slice from the HBM-resident peq table (the slice variant
+    stalls the sequential loop on a DMA every step: measured 7.6x
+    slower for the fused anchor loop).  Used for anchor/query
+    distance columns (reference pickers.py:43-50 hot loop #1).
 
-    peq: uint32 (n, alphabet, W) — every dataset string as pattern
+    planes: uint32 (K, 2, n, W) — bitplane-decomposed Peq tables
     la_all: int32 (n,) pattern lengths
     t_ids: int32 (L,) dense alphabet ids of the text (pad -1)
     t_len: int32 scalar text length
     Returns int32 (n,) edit distances.
     """
-    n, alphabet, W = peq.shape
+    K, _, n, W = planes.shape
     la = la_all.astype(jnp.int32)
 
     word_base = jnp.arange(W, dtype=jnp.int32)[None, :] * 32
@@ -291,24 +293,32 @@ def _myers_column(peq, la_all, t_ids, t_len):
     ).astype(jnp.uint32)
     VN0 = jnp.zeros((n, W), dtype=jnp.uint32)
 
+    # tap masks instead of per-row word gathers (same trick as the
+    # batch kernel): one-hot word mask holding bit (la-1)
     m1 = jnp.maximum(la - 1, 0)
-    tap_word = (m1 >> 5)[:, None]
-    tap_mask = (UINT1 << (m1 & 31).astype(jnp.uint32))
+    tap = jnp.where(
+        jnp.arange(W, dtype=jnp.int32)[None, :] == (m1 >> 5)[:, None],
+        (UINT1 << (m1 & 31).astype(jnp.uint32))[:, None],
+        jnp.uint32(0),
+    )
 
     def step(j, VP, VN, score):
         live = j < t_len  # unrolled loop may overshoot by one char
-        cj = jnp.clip(t_ids[jnp.minimum(j, t_ids.shape[0] - 1)], 0,
-                      alphabet - 1)
-        Eq = jax.lax.dynamic_slice_in_dim(peq, cj, 1, axis=1)[:, 0, :]
+        cj = t_ids[jnp.minimum(j, t_ids.shape[0] - 1)]
+        cju = jnp.clip(cj, 0, None).astype(jnp.uint32)
+        Eq = None
+        for k in range(K):
+            bit = (cju >> k) & UINT1  # scalar select bit
+            sel = jnp.where(bit == 1, planes[k, 1], planes[k, 0])
+            Eq = sel if Eq is None else (Eq & sel)
+        Eq = jnp.where(cj >= 0, Eq, jnp.uint32(0))
         Xv = Eq | VN
         D0 = (_add_with_carry(Eq & VP, VP) ^ VP) | Xv
         HP = VN | ~(D0 | VP)
         HN = VP & D0
-        hp_tap = jnp.take_along_axis(HP, tap_word, axis=1)[:, 0]
-        hn_tap = jnp.take_along_axis(HN, tap_word, axis=1)[:, 0]
-        inc = ((hp_tap & tap_mask) != 0).astype(jnp.int32) - (
-            (hn_tap & tap_mask) != 0
-        ).astype(jnp.int32)
+        hp = jnp.any((HP & tap) != 0, axis=1)
+        hn = jnp.any((HN & tap) != 0, axis=1)
+        inc = hp.astype(jnp.int32) - hn.astype(jnp.int32)
         score = score + jnp.where(live, inc, 0)
         X = _shift1(HP, UINT1)
         HNs = _shift1(HN, jnp.uint32(0))
@@ -329,7 +339,7 @@ def _myers_column(peq, la_all, t_ids, t_len):
 
 
 @functools.partial(jax.jit, static_argnames=("na",))
-def _myers_maxmin(peq, la_all, ids, first_ix, na: int):
+def _myers_maxmin(planes, la_all, ids, first_ix, na: int):
     """Fused greedy max-min anchor selection: the entire
     anchors-times-columns loop runs as ONE device program (replaces
     na sequential host-driven column evaluations, reference
@@ -337,7 +347,7 @@ def _myers_maxmin(peq, la_all, ids, first_ix, na: int):
 
     Returns (A int32 (na,), D int32 (na, n)).
     """
-    n = peq.shape[0]
+    n = planes.shape[2]
     D0 = jnp.zeros((na, n), dtype=jnp.int32)
     A0 = jnp.zeros((na,), dtype=jnp.int32)
     row_ids = jnp.arange(na, dtype=jnp.int32)
@@ -345,7 +355,7 @@ def _myers_maxmin(peq, la_all, ids, first_ix, na: int):
     def body(i, carry):
         D, A, ix = carry
         col = _myers_column(
-            peq, la_all, jnp.take(ids, ix, axis=0), jnp.take(la_all, ix)
+            planes, la_all, jnp.take(ids, ix, axis=0), jnp.take(la_all, ix)
         )
         D = jax.lax.dynamic_update_slice_in_dim(D, col[None, :], i, axis=0)
         A = A.at[i].set(ix)
@@ -365,17 +375,17 @@ def _myers_maxmin(peq, la_all, ids, first_ix, na: int):
 
 
 @functools.partial(jax.jit, static_argnames=("steps", "na"))
-def _myers_maxmin_seg(peq, la_all, ids, D, A, ix, i0, steps: int, na: int):
+def _myers_maxmin_seg(planes, la_all, ids, D, A, ix, i0, steps: int, na: int):
     """A `steps`-anchor segment of the max-min loop (same body as
     _myers_maxmin, carry in/out).  i0 is traced so one compile serves
     every segment."""
-    n = peq.shape[0]
+    n = planes.shape[2]
     row_ids = jnp.arange(na, dtype=jnp.int32)
 
     def body(i, carry):
         D, A, ix = carry
         col = _myers_column(
-            peq, la_all, jnp.take(ids, ix, axis=0), jnp.take(la_all, ix)
+            planes, la_all, jnp.take(ids, ix, axis=0), jnp.take(la_all, ix)
         )
         D = jax.lax.dynamic_update_slice_in_dim(D, col[None, :], i, axis=0)
         A = A.at[i].set(ix)
@@ -401,10 +411,10 @@ def myers_maxmin(
     """Host wrapper for the fused max-min anchor kernel."""
     from annchor_tpu.progress import progress
 
-    peq, _, ids, la = enc.device_arrays()
-    n = peq.shape[0]
+    _, planes, ids, la = enc.device_arrays()
+    n = planes.shape[2]
     if n <= MAXMIN_FUSED_NX:
-        A, D = _myers_maxmin(peq, la, ids, int(first_ix), na)
+        A, D = _myers_maxmin(planes, la, ids, int(first_ix), na)
         return np.asarray(A), np.asarray(D, dtype=np.float64).T
     # segmented: same loop body, several dispatches
     steps = max(1, (8 * MAXMIN_FUSED_NX) // n)
@@ -416,7 +426,7 @@ def myers_maxmin(
     ):
         s = min(steps, na - i0)
         D, A, ix = _myers_maxmin_seg(
-            peq, la, ids, D, A, ix, jnp.asarray(i0, jnp.int32), s, na
+            planes, la, ids, D, A, ix, jnp.asarray(i0, jnp.int32), s, na
         )
         np.asarray(A[:1])  # sync: bound per-dispatch runtime
     return np.asarray(A), np.asarray(D, dtype=np.float64).T
@@ -425,11 +435,11 @@ def myers_maxmin(
 def myers_columns(enc: "MyersEncoding", ixs):
     """Distance columns for a set of source indices (one-vs-all),
     one fused dispatch per column."""
-    peq, _, ids, la = enc.device_arrays()
+    _, planes, ids, la = enc.device_arrays()
     cols = [
         np.asarray(
             _myers_column(
-                peq, la, jnp.take(ids, int(ix), axis=0), int(enc.lengths[ix])
+                planes, la, jnp.take(ids, int(ix), axis=0), int(enc.lengths[ix])
             )
         )
         for ix in np.asarray(ixs, dtype=np.int64)
@@ -543,3 +553,29 @@ def myers_pairs(
         )
         out[sel] = np.asarray(d)[:bsz]
     return out
+
+
+def _myers_pairs_dev_impl(planes_tab, ids_tab, lengths, I, J):
+    """Pair eval from device-resident pair ids: the length lookup and
+    the shorter-pattern swap happen in-program, so a selection stage
+    can chain straight into the kernel with no host hop (the relay's
+    ~30 ms round-trip latency is the fit's cost floor at small nx)."""
+    la = jnp.take(lengths, I)
+    lb = jnp.take(lengths, J)
+    swap = la > lb
+    P = jnp.where(swap, J, I)
+    T = jnp.where(swap, I, J)
+    return _myers_batch_from_tables(
+        planes_tab, ids_tab, P, T,
+        jnp.minimum(la, lb), jnp.maximum(la, lb),
+    )
+
+
+_myers_pairs_dev_jit = jax.jit(_myers_pairs_dev_impl)
+
+
+def myers_pairs_dev(enc: MyersEncoding, I, J):
+    """XLA device-id twin of myers_pairs: I, J are device int32 arrays;
+    returns a device int32 (B,) array (no download)."""
+    _, planes_d, ids_d, lengths_d = enc.device_arrays()
+    return _myers_pairs_dev_jit(planes_d, ids_d, lengths_d, I, J)

@@ -185,6 +185,37 @@ def _pallas_batch(planes, text, la, lb, maxlb, interpret: bool):
     )(planes, text, la, lb, maxlb)
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_pairs_dev(planes_tab, ids_tab, lengths, I, J, interpret: bool):
+    """Device-id pair eval: length lookup, shorter-pattern swap, the
+    lane-major gather and the kernel all in one dispatch chain — no
+    host hop between a selection program and the distances landing.
+    B = len(I) must be a multiple of TILE (caller pads)."""
+    la = jnp.take(lengths, I)
+    lb = jnp.take(lengths, J)
+    swap = la > lb
+    P = jnp.where(swap, J, I)
+    T = jnp.where(swap, I, J)
+    la2 = jnp.minimum(la, lb).astype(jnp.int32)
+    lb2 = jnp.maximum(la, lb).astype(jnp.int32)
+    planes, text = _gather_transpose(planes_tab, ids_tab, P, T)
+    maxlb = jnp.max(lb2).reshape(1, 1)
+    return _pallas_batch(
+        planes, text, la2[None, :], lb2[None, :], maxlb, interpret
+    )[0]
+
+
+def pallas_myers_pairs_dev(enc, I, J):
+    """Pallas device-id twin of pallas_myers_pairs (see
+    _pallas_pairs_dev).  I, J device int32, len multiple of TILE."""
+    from annchor_tpu.ops._backend import pallas_interpret
+
+    _, planes_d, ids_d, lengths_d = enc.device_arrays()
+    return _pallas_pairs_dev(
+        planes_d, ids_d, lengths_d, I, J, pallas_interpret()
+    )
+
+
 def _gather_transpose(planes_tab, ids_tab, Pi, Ti):
     """Device-side gather of pair rows + transpose to lane-major."""
     pl_b = jnp.take(planes_tab, Pi, axis=2)  # (K, 2, B, W)

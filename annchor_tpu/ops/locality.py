@@ -208,6 +208,10 @@ def candidate_pairs(
         S, sid, eff, packed, total = _fused_locality(
             D32, int(locality), int(loc_min), int(loc_thresh)
         )
+        # one blocking download for the mask + count; S/sid/eff stay
+        # device-resident (nothing in the fit reads them — the caller
+        # materialises lazily for query/enemies/persistence)
+        packed_h, total = jax.device_get((packed, total))
         total = int(total)
         if _dbg:
             print(
@@ -219,21 +223,15 @@ def candidate_pairs(
             # every pair admitted: skip the unpack/nonzero round trip
             iu = np.triu_indices(nx, k=1)
             IJs = np.stack(iu, axis=1).astype(np.int32)
-            out = (
-                IJs,
-                np.asarray(sid),
-                np.asarray(S),
-                np.asarray(eff),
-            )
             if _dbg:
                 print(
                     "    [locality] allkept host: %.3f s"
                     % (_time.perf_counter() - _t0)
                 )
-            return out
-        r, c = _decode_packed(np.asarray(packed), nx)
+            return IJs, sid, S, eff
+        r, c = _decode_packed(np.asarray(packed_h), nx)
         IJs = np.stack([r, c], axis=1).astype(np.int32)
-        return IJs, np.asarray(sid), np.asarray(S), np.asarray(eff)
+        return IJs, sid, S, eff
 
     _t0 = _time.perf_counter()
 
