@@ -501,11 +501,16 @@ class Annchor:
         flow)."""
         if os.environ.get("ANNCHOR_TPU_DISABLE_FUSED_EVAL"):
             return None
-        if self._scouting or self._dev is None or self._dev.shard is not None:
+        if self._dev is None or self._dev.shard is not None:
             return None
         if not getattr(self.get_exact_ijs, "_annchor_default", False):
             return None
-        eng = getattr(self.metric, "batch", None)
+        # during a hybrid fit the scout engine IS the active evaluator
+        eng = (
+            getattr(self.metric, "scout", None)
+            if self._scouting
+            else getattr(self.metric, "batch", None)
+        )
         if eng is None or not hasattr(eng, "batch_dev"):
             return None
         try:
@@ -543,7 +548,10 @@ class Annchor:
             self.n_samples = self.sample_ixs.shape[0]
             if sample_y is not None:
                 self.sample_y = sample_y
-                self.evals += sample_y.shape[0]
+                if self._scouting:
+                    self.scout_evals += sample_y.shape[0]
+                else:
+                    self.evals += sample_y.shape[0]
             else:
                 self.sample_y = self._eval_pairs(self.sample_ijs)
             # ncm flips on device inside regress_update
@@ -637,7 +645,10 @@ class Annchor:
                     3 * nn // 2,
                     self._dev_eval,
                 )
-                self.evals += n_done
+                if self._scouting:
+                    self.scout_evals += n_done
+                else:
+                    self.evals += n_done
                 return
             candidates, cand_IJ = self._dev.select(
                 self.error_predictor,

@@ -180,9 +180,20 @@ class _DenseBatchEngine:
     def batch_dev(self, X, I, J):
         """Device-id eval: I, J int32 device arrays -> device f32
         distances, no host hop (lets the fit pipeline chain
-        select -> eval -> scatter in one dispatch sequence)."""
+        select -> eval -> scatter in one dispatch sequence).  Chunked
+        into bounded async dispatches; nothing blocks."""
+        import jax.numpy as jnp
+
         Xd = self._data_dev(X)
-        return self._kernel()(Xd, Xd, I, J)
+        kern = self._kernel()
+        B = I.shape[0]
+        if B <= self.chunk:
+            return kern(Xd, Xd, I, J)
+        outs = [
+            kern(Xd, Xd, I[s : s + self.chunk], J[s : s + self.chunk])
+            for s in range(0, B, self.chunk)
+        ]
+        return jnp.concatenate(outs)
 
     def fused_maxmin(self, X, na, first_ix, verbose=False):
         """Whole greedy max-min anchor loop as one device program
@@ -335,28 +346,47 @@ class _LevenshteinEngine:
 
     def batch_dev(self, X, I, J):
         """Device-id eval (Myers tiers only): I, J int32 device
-        arrays -> device f32 distances, no host hop."""
+        arrays -> device f32 distances, no host hop.  Large batches
+        are split into bounded async dispatches (the in-program
+        (L, B) text gather is ~1.6 kB per pair at 400-char strings —
+        a 10^7-pair selection in one program OOMs the chip), but no
+        chunk blocks: the caller's single device_get is the only
+        synchronisation point."""
         import jax.numpy as jnp
 
         myers = self._encode(X)[2]
         if myers is None:
             return None
-        if self._use_pallas():
+        use_pallas = self._use_pallas()
+        if use_pallas:
             from annchor_tpu.ops.levenshtein_pallas import (
                 TILE,
                 pallas_myers_pairs_dev,
             )
-
-            B = I.shape[0]
-            pad = (-B) % TILE
-            if pad:
-                I = jnp.concatenate([I, jnp.zeros(pad, I.dtype)])
-                J = jnp.concatenate([J, jnp.zeros(pad, J.dtype)])
-            d = pallas_myers_pairs_dev(myers, I, J)[:B]
         else:
             from annchor_tpu.ops.levenshtein_myers import myers_pairs_dev
 
-            d = myers_pairs_dev(myers, I, J)
+        B = I.shape[0]
+        chunk = 1 << 16
+        if B <= chunk:
+            parts = [(I, J, B)]
+        else:
+            parts = [
+                (I[s : s + chunk], J[s : s + chunk], min(chunk, B - s))
+                for s in range(0, B, chunk)
+            ]
+        outs = []
+        for Ic, Jc, bsz in parts:
+            if use_pallas:
+                pad = (-bsz) % TILE
+                if pad:
+                    Ic = jnp.concatenate([Ic, jnp.zeros(pad, Ic.dtype)])
+                    Jc = jnp.concatenate([Jc, jnp.zeros(pad, Jc.dtype)])
+                d = pallas_myers_pairs_dev(myers, Ic, Jc)[:bsz]
+            else:
+                d = myers_pairs_dev(myers, Ic, Jc)
+            outs.append(d)
+        d = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
         return d.astype(jnp.float32)
 
     def fused_maxmin(self, X, na, first_ix, verbose=False):

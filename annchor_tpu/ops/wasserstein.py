@@ -82,6 +82,40 @@ def _sinkhorn_exp_chunk(Xn, Zn, I, J, Kmat, KC, n_iter: int):
     return jnp.sum(u * (v @ KC.T), axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("na", "n_iter"))
+def _sinkhorn_maxmin(Xn, Kmat, KC, first, na: int, n_iter: int):
+    """Fused greedy max-min anchors on the scout metric: the whole
+    anchors-times-columns loop as ONE device program (the host loop
+    pays ~2 relay round trips per anchor column).  Mirrors the
+    reference quirk that the running min excludes the first anchor's
+    column (reference pickers.py:48-50)."""
+    n = Xn.shape[0]
+    row_ids = jnp.arange(na, dtype=jnp.int32)
+    Jall = jnp.arange(n, dtype=jnp.int32)
+
+    def body(i, carry):
+        D, A, ix = carry
+        I = jnp.full((n,), ix, dtype=jnp.int32)
+        col = _sinkhorn_exp_chunk(Xn, Xn, I, Jall, Kmat, KC, n_iter)
+        D = jax.lax.dynamic_update_slice_in_dim(
+            D, col[None, :], i, axis=0
+        )
+        A = A.at[i].set(ix)
+        live = (row_ids >= 1) & (row_ids <= i)
+        minD = jnp.min(
+            jnp.where(live[:, None], D, jnp.float32(np.inf)), axis=0
+        )
+        nxt = jnp.where(i == 0, jnp.argmax(col), jnp.argmax(minD))
+        return D, A, nxt.astype(jnp.int32)
+
+    D0 = jnp.zeros((na, n), dtype=jnp.float32)
+    A0 = jnp.zeros((na,), dtype=jnp.int32)
+    D, A, _ = jax.lax.fori_loop(
+        0, na, body, (D0, A0, jnp.asarray(first, jnp.int32))
+    )
+    return A, D
+
+
 class SinkhornExpEngine:
     """Fast entropic-OT scout: batched exp-domain Sinkhorn with the
     dataset resident on device.
@@ -124,6 +158,37 @@ class SinkhornExpEngine:
             hit = (X, jnp.asarray(Xn))
             self._tables[key] = hit
         return hit[1]
+
+    def fused_maxmin(self, X, na, first_ix, verbose=False):
+        """Whole greedy max-min anchor loop as one device program
+        (scout-metric anchors for the hybrid fit)."""
+        Xd = self._table(X)
+        A, D = _sinkhorn_maxmin(
+            Xd, self._Kd, self._KCd, int(first_ix), int(na), self.n_iter
+        )
+        return np.asarray(A), np.asarray(D, dtype=np.float64).T
+
+    def batch_dev_ready(self, X):
+        return True
+
+    def batch_dev(self, X, I, J):
+        """Device-id scout eval: I, J int32 device arrays -> device
+        f32 values, no host hop (fused fit pipeline).  Chunked into
+        bounded async dispatches; nothing blocks."""
+        Xd = self._table(X)
+        B = I.shape[0]
+        if B <= self.chunk:
+            return _sinkhorn_exp_chunk(
+                Xd, Xd, I, J, self._Kd, self._KCd, self.n_iter
+            )
+        outs = [
+            _sinkhorn_exp_chunk(
+                Xd, Xd, I[s : s + self.chunk], J[s : s + self.chunk],
+                self._Kd, self._KCd, self.n_iter,
+            )
+            for s in range(0, B, self.chunk)
+        ]
+        return jnp.concatenate(outs)
 
     def __call__(self, X, Z, IJ):
         IJ = np.asarray(IJ, dtype=np.int64)

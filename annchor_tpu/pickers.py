@@ -43,8 +43,15 @@ class MaxMinAnchorPicker:
 
         # fused device loop: the whole greedy selection runs as one
         # jit program when the metric engine supports it and the user
-        # has not overridden the pairwise evaluator
-        fused = getattr(ann.metric.batch, "fused_maxmin", None)
+        # has not overridden the pairwise evaluator.  During a hybrid
+        # fit the scout engine is the active evaluator, so its fused
+        # loop is the semantically matching one.
+        eng = (
+            ann.metric.scout
+            if getattr(ann, "_scouting", False)
+            else ann.metric.batch
+        )
+        fused = getattr(eng, "fused_maxmin", None)
         if fused is not None and getattr(
             ann.get_exact_ijs, "_annchor_default", False
         ):
