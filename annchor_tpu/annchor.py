@@ -583,7 +583,10 @@ class Annchor:
         )
         if self._dev is not None:
             self.sample_predict = self._dev.regress_update(
-                self.regression, self.sample_ixs, self.sample_y
+                self.regression,
+                self.sample_ixs,
+                self.sample_y,
+                self.sample_features,
             )
             return
         self.pred = self.regression.predict(self.features, self.feature_names)

@@ -274,6 +274,7 @@ class _LevenshteinEngine:
     def __init__(self, block_size: int = 32768, use_myers: bool = True):
         self.block_size = block_size
         self.use_myers = use_myers
+        self.dev_chunk = 1 << 16  # batch_dev dispatch bound (HBM temps)
         self._cache = {}
         self._pallas_ok = None
 
@@ -367,7 +368,7 @@ class _LevenshteinEngine:
             from annchor_tpu.ops.levenshtein_myers import myers_pairs_dev
 
         B = I.shape[0]
-        chunk = 1 << 16
+        chunk = self.dev_chunk
         if B <= chunk:
             parts = [(I, J, B)]
         else:

@@ -100,7 +100,11 @@ def _regress_update(
 ):
     """Predict every pair from the fitted per-bin linear model, clip to
     bounds (metric spaces), overwrite the fresh sample rows with their
-    exact values.  Returns (RA', ncm', unclipped sample predictions).
+    exact values.  Returns (RA', ncm').  The *sample* predictions (for
+    the residual model) are replicated on host from the already-
+    downloaded sample rows (`predict_sample_host`) so this dispatch
+    never blocks — the per-iteration round trips through the TPU relay
+    are the cost model, not FLOPs.
 
     Bin convention matches the host regressor: (lo, hi] via
     side='left' on the interior edges."""
@@ -117,7 +121,6 @@ def _regress_update(
             + icepts[b]
         )
         pred = jnp.where(labels == b, pred_b, pred)
-    sample_pred = jnp.take(pred, sample_ids)
     if is_metric:
         pred = jnp.clip(pred, lb, ub)
     ncm2 = ncm.at[sample_ids].set(False)
@@ -126,7 +129,30 @@ def _regress_update(
     else:
         RA2 = jnp.where(ncm2, pred, RA)
     RA2 = RA2.at[sample_ids].set(sample_y)
-    return RA2, ncm2, sample_pred
+    return RA2, ncm2
+
+
+def predict_sample_host(regression, sample_features):
+    """The unclipped per-bin linear prediction at the sample rows,
+    replicated on host in float32 (same expression tree and bin
+    convention as `_regress_update`'s device program).  The inputs are
+    exact: sample feature rows come down the link as the device's own
+    f32 values.  Avoids blocking on the regress dispatch just to read
+    back n_samples floats."""
+    c = np.asarray(regression.coefs, np.float32)
+    ic = np.asarray(regression.intercepts, np.float32)
+    inner = np.asarray(regression.sample_bins[1:-1], np.float32)
+    lb = sample_features[:, 0].astype(np.float32)
+    ub = sample_features[:, 1].astype(np.float32)
+    dad = sample_features[:, 2].astype(np.float32)
+    labels = np.searchsorted(inner, dad, side="left")
+    pred = (
+        lb * c[labels, 0]
+        + ub * c[labels, 1]
+        + dad * c[labels, 2]
+        + ic[labels]
+    )
+    return pred.astype(np.float64)
 
 
 def _sample_draw_body(dad, ncm, key, ilo, ihi, pool_n, quotas: tuple,
@@ -862,6 +888,7 @@ class DeviceFitState:
             self.RA = jnp.zeros(self.m, dtype=jnp.float32)
         self.thresh = None
         self._started = False
+        self._pending_exact = []
 
         # non-metric fixup rows: anchor pairs must carry their exact
         # column values once predictions stop being bound-clipped
@@ -1060,10 +1087,13 @@ class DeviceFitState:
             y = np.asarray(y, dtype=np.float64)[keep]
         return ids, bins, feats, IJ, y
 
-    def regress_update(self, regression, sample_ids, sample_y):
+    def regress_update(self, regression, sample_ids, sample_y,
+                       sample_features):
         """Upload the fitted coefficients, predict+clip every pair on
         device, land the sample exacts.  Returns the unclipped sample
-        predictions (for the residual model)."""
+        predictions (for the residual model), computed on host from the
+        sample feature rows — the dispatch stays fully asynchronous
+        (one fewer blocking relay round trip per iteration)."""
         inner = jnp.asarray(
             np.asarray(regression.sample_bins[1:-1], dtype=np.float32)
         )
@@ -1072,14 +1102,14 @@ class DeviceFitState:
         sids = jnp.asarray(sample_ids.astype(np.int32))
         sy = jnp.asarray(sample_y.astype(np.float32))
         if self.shard is not None:
-            self.RA, self.ncm, sample_pred = self.shard.regress_update(
+            self.RA, self.ncm = self.shard.regress_update(
                 self.lb, self.ub, self.dad, self.RA, self.ncm,
                 inner, coefs, icepts, sids, sy,
                 self.ann.is_metric, not self._started,
                 int(coefs.shape[0]),
             )
         else:
-            self.RA, self.ncm, sample_pred = _regress_update(
+            self.RA, self.ncm = _regress_update(
                 self.lb, self.ub, self.dad, self.RA, self.ncm,
                 inner, coefs, icepts, sids, sy,
                 self.ann.is_metric, not self._started,
@@ -1093,7 +1123,7 @@ class DeviceFitState:
             else:
                 self.RA = _override_rows(self.RA, *self._override)
         self._store_exact(sample_ids, sample_y)
-        return np.asarray(sample_pred, dtype=np.float64)
+        return predict_sample_host(regression, sample_features)
 
     CDF_GRID = 4096
 
@@ -1181,11 +1211,32 @@ class DeviceFitState:
         self.RA, self.ncm = _scatter_exact(
             self.RA, self.ncm, chosen, y.astype(jnp.float32)
         )
-        ch, yh = jax.device_get((chosen, y))
-        self._store_exact(
-            np.asarray(ch, np.int64), np.asarray(yh, np.float64)
-        )
+        # `chosen` is n_ref *distinct uncomputed* ids by construction
+        # (computed pairs score -1 in _select and n_ref <= pool), so
+        # the budget can be accounted immediately; the host mirrors
+        # don't need these values until the final graph assembly, so
+        # the download is deferred to one flush — the per-iteration
+        # loop keeps a single blocking trip (the sample draw)
+        self._pending_exact.append((chosen, y))
+        self.pool -= n_ref
         return n_ref
+
+    def _flush_exacts(self):
+        """Land every deferred fused-select batch in the host mirrors
+        with one blocking download (pool was already decremented at
+        select time)."""
+        if not self._pending_exact:
+            return
+        got = jax.device_get(self._pending_exact)
+        self._pending_exact = []
+        for ch, yv in got:
+            ids = np.asarray(ch, np.int64)
+            vals = np.asarray(yv, np.float64)
+            if self.sparse:
+                self.exact.add(ids, vals)
+            else:
+                self.ncm_host[ids] = False
+                self.exact64[ids] = vals
 
     def apply_exact(self, ids, vals):
         idd = jnp.asarray(ids.astype(np.int32))
@@ -1251,6 +1302,7 @@ class DeviceFitState:
     def knn_graph(self, nn):
         """Final k-NN graph; exact distances come from the host float64
         cache, predicted ones from the downloaded f32 estimates."""
+        self._flush_exacts()
         nn = min(int(nn), int(self.P_idx_d.shape[1]))
         if self.shard is not None:
             pair_sum = (self.ij_i + self.ij_j).astype(jnp.int32)
@@ -1284,6 +1336,7 @@ class DeviceFitState:
     def ncm_to_host(self):
         """Dense host not-computed mask (downloaded on demand in
         sparse mode)."""
+        self._flush_exacts()
         if self.ncm_host is not None:
             return self.ncm_host
         return np.asarray(self.ncm)[: self.m]
@@ -1292,6 +1345,7 @@ class DeviceFitState:
         """Download the f32 state and hand back float64 host arrays
         (exact values keep full precision from the host cache;
         sentinel shard padding is sliced off)."""
+        self._flush_exacts()
         lb = np.asarray(self.lb, dtype=np.float64)[: self.m]
         ub = np.asarray(self.ub, dtype=np.float64)[: self.m]
         if self.sparse:

@@ -224,8 +224,9 @@ class ShardedFit:
         is_metric: bool, init: bool, n_bins: int,
     ):
         """Predict + clip every pair on its owning chip; land the
-        sample exacts with local-offset scatters; gather the unclipped
-        sample predictions with a psum (each id has one owner)."""
+        sample exacts with local-offset scatters.  Sample predictions
+        are replicated on host (`predict_sample_host`) so this program
+        returns only sharded state and never blocks."""
         P = self.P
         shard = self.shard_m
         m_real = self.m_real
@@ -244,10 +245,6 @@ class ShardedFit:
                     )
                     pred = jnp.where(labels == b, pred_b, pred)
                 loc, inb = _local_ids(sids, start, shard)
-                locc = jnp.where(inb, loc, 0)
-                sample_pred = jax.lax.psum(
-                    jnp.where(inb, jnp.take(pred, locc), 0.0), PAIR_AXIS
-                )
                 if is_metric:
                     pred = jnp.clip(pred, lb, ub)
                 ncm2 = ncm.at[loc].set(False, mode="drop")
@@ -259,13 +256,13 @@ class ShardedFit:
                 # read them as "worse than everything"
                 gid = start + jnp.arange(shard, dtype=jnp.int32)
                 RA2 = jnp.where(gid >= m_real, F32_INF, RA2)
-                return RA2, ncm2, sample_pred
+                return RA2, ncm2
 
             specs_p = P(PAIR_AXIS)
             return self._shmap(
                 body,
                 (specs_p,) * 5 + (P(),) * 5,
-                (specs_p, specs_p, P()),
+                (specs_p, specs_p),
             )
 
         fn = self._get(("regress", is_metric, init, n_bins), build)

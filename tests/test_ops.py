@@ -248,3 +248,41 @@ def test_tighten_bounds_column_subsample(state, rng):
     assert (lb_new <= d_true[pending] + 1e-4).all()
     assert (ub_new >= d_true[pending] - 1e-4).all()
     assert (ub_new < 1e9).any()  # actually tightened something
+
+
+def test_batch_dev_chunking_matches_unchunked():
+    """batch_dev engines split large batches into bounded async
+    dispatches; the chunked result must equal the one-shot result
+    (and the host batch path) element for element."""
+    import jax.numpy as jnp
+
+    from annchor_tpu.metrics import get_function_from_input
+
+    rng = np.random.default_rng(77)
+
+    # dense engine
+    X = rng.normal(size=(300, 6))
+    eng = get_function_from_input("euclidean").batch
+    I = rng.integers(0, 300, 5000).astype(np.int32)
+    J = rng.integers(0, 300, 5000).astype(np.int32)
+    one = np.asarray(eng.batch_dev(X, jnp.asarray(I), jnp.asarray(J)))
+    eng.chunk = 512
+    many = np.asarray(eng.batch_dev(X, jnp.asarray(I), jnp.asarray(J)))
+    host = eng(X, X, np.stack([I, J], axis=1).astype(np.int64))
+    np.testing.assert_array_equal(one, many)
+    np.testing.assert_allclose(many.astype(np.float64), host, rtol=1e-6)
+
+    # levenshtein engine (XLA myers dev path on CPU)
+    from annchor_tpu.datasets import make_strings
+
+    Xs, _ = make_strings(n=120, length=40, seed=5)
+    lev = get_function_from_input("levenshtein").batch
+    Il = rng.integers(0, 120, 4000).astype(np.int32)
+    Jl = rng.integers(0, 120, 4000).astype(np.int32)
+    Xl = list(Xs)
+    one = np.asarray(lev.batch_dev(Xl, jnp.asarray(Il), jnp.asarray(Jl)))
+    lev.dev_chunk = 777
+    many = np.asarray(lev.batch_dev(Xl, jnp.asarray(Il), jnp.asarray(Jl)))
+    host = lev(Xl, Xl, np.stack([Il, Jl], axis=1).astype(np.int64))
+    np.testing.assert_array_equal(one, many)
+    np.testing.assert_array_equal(many.astype(np.float64), host)
