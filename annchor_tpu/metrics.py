@@ -680,18 +680,45 @@ def make_get_exact_query_ijs(
 def test_parallelisation(get_exact_ijs, f, X, nx, s=20, seed=42):
     """Construction-time smoke test (reference utils.py:248-271): run a
     few real metric calls so backend problems surface immediately with
-    an actionable error."""
+    an actionable error.
+
+    Transient device-backend outages (remote-TPU relays surface these
+    as UNAVAILABLE) are retried with a short backoff before giving up:
+    this is the process's first device contact, and aborting a long
+    batch run on a blip that resolves in seconds is worse than a
+    bounded wait.  ``ANNCHOR_TPU_SMOKE_RETRIES`` overrides the attempt
+    count (0 disables)."""
+    import os
+    import time as _time
+
     rng = np.random.default_rng(seed)
     IJ = rng.integers(nx, size=(s, 2))
-    try:
-        out = get_exact_ijs(f, X, IJ)
-    except Exception as err:
-        raise RuntimeError(
-            "Metric backend smoke test failed. If you supplied a custom "
-            "get_exact_ijs, check it returns np.array([f(X[i],X[j]) for "
-            "i,j in IJ]); for built-in metrics check the dataset dtype "
-            f"matches the metric. Original error: {err!r}"
-        ) from err
+    retries = int(os.environ.get("ANNCHOR_TPU_SMOKE_RETRIES", "2"))
+    out = None
+    for attempt in range(retries + 1):
+        try:
+            out = get_exact_ijs(f, X, IJ)
+            break
+        except Exception as err:
+            transient = "UNAVAILABLE" in str(err) or "Unavailable" in str(
+                err
+            )
+            if transient and attempt < retries:
+                wait = 20.0 * (attempt + 1)
+                print(
+                    "Warning: metric backend unavailable (attempt "
+                    f"{attempt + 1}/{retries + 1}); retrying in "
+                    f"{wait:.0f} s."
+                )
+                _time.sleep(wait)
+                continue
+            raise RuntimeError(
+                "Metric backend smoke test failed. If you supplied a "
+                "custom get_exact_ijs, check it returns "
+                "np.array([f(X[i],X[j]) for i,j in IJ]); for built-in "
+                "metrics check the dataset dtype matches the metric. "
+                f"Original error: {err!r}"
+            ) from err
     out = np.asarray(out)
     if out.shape != (s,):
         raise RuntimeError(

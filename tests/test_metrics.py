@@ -122,6 +122,33 @@ def test_parallelisation_bad_backend(X):
         check_parallelisation(broken, m.scalar, X, len(X))
 
 
+def test_parallelisation_transient_retry(X, monkeypatch):
+    """A transient UNAVAILABLE (remote-relay blip) is retried with
+    backoff instead of aborting the run; a persistent one still
+    raises the actionable message."""
+    import time
+
+    monkeypatch.setattr(time, "sleep", lambda s: None)
+    m = get_function_from_input("euclidean", None)
+    calls = {"n": 0}
+
+    def flaky(f, X, IJ):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("UNAVAILABLE: TPU backend setup error")
+        return np.zeros(len(IJ))
+
+    out = check_parallelisation(flaky, m.scalar, X, len(X), s=20)
+    assert out.shape == (20,)
+    assert calls["n"] == 2
+
+    def always_down(f, X, IJ):
+        raise RuntimeError("UNAVAILABLE: TPU backend setup error")
+
+    with pytest.raises(RuntimeError, match="smoke test failed"):
+        check_parallelisation(always_down, m.scalar, X, len(X))
+
+
 def test_parallelisation_bad_shape(X):
     def wrong_shape(f, X, IJ):
         return np.zeros((len(IJ), 2))
