@@ -418,12 +418,28 @@ class Annchor:
                     self.loc_min, pair_cap, verbose=self.verbose,
                 )
             else:
+                # no explicit cap: the counting pass auto-switches to
+                # the budgeted build when the admitted set would OOM
+                # the fit's O(m) device state, with the per-point cap
+                # matched to the refine budget (SCALE.md: at the
+                # measured optimum cap ~ 0.7 * p_work * nx — wider
+                # candidate sets dilute the fixed refine budget)
+                max_res = int(
+                    os.environ.get(
+                        "ANNCHOR_TPU_MAX_RESIDENT_PAIRS", str(10**8)
+                    )
+                )
+                auto_cap = max(
+                    4 * self.n_neighbors,
+                    int(round(0.7 * self.p_work * self.nx)),
+                )
                 (
                     ij_i, ij_j, m,
                     self.sid, self.S, self.loc_eff, self.P_cnt,
                 ) = candidate_pairs_device(
                     self.D, self.locality, self.loc_thresh,
                     self.loc_min, verbose=self.verbose,
+                    max_resident=max_res, budget_cap=auto_cap,
                 )
             self._IJs = None
             self._ij_dev = (ij_i, ij_j, m)

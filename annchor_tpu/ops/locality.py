@@ -367,10 +367,19 @@ def candidate_pairs_device(
     loc_min: int,
     block: int = 4096,
     verbose: bool = False,
+    max_resident: int | None = None,
+    budget_cap: int | None = None,
 ):
     """`candidate_pairs`, but the pair list is built and stays on
     device (the scale path: nothing O(m) touches the host, no mask
     download, no pair upload).
+
+    With ``max_resident``/``budget_cap`` set, the cheap counting pass
+    decides the build: an admitted set larger than ``max_resident``
+    pairs would OOM the fit's O(m) device state, so the build falls
+    through to the two-pass budgeted stream keeping each point's
+    ``budget_cap`` smallest-lower-bound candidates (resident pairs
+    O(nx * cap) however permissive the filter).
 
     Returns (ij_i, ij_j, m, sid, S, eff, P_cnt) where ij_i/ij_j are
     int32 device arrays of length m with ij_i < ij_j, and P_cnt is the
@@ -409,6 +418,23 @@ def candidate_pairs_device(
         pc_cols.append(pc_c)
         pc_rows.append(pc_r)
     totals = [int(t) for t in totals]
+    if (
+        max_resident is not None
+        and budget_cap is not None
+        and sum(totals) > max_resident
+    ):
+        # the admitted set would OOM the fit's O(m) device state:
+        # hand the precomputed membership to the budgeted stream
+        if verbose:
+            print(
+                "locality: %d admitted pairs > %d resident budget; "
+                "switching to the budgeted build (cap %d per point)"
+                % (sum(totals), max_resident, budget_cap)
+            )
+        return candidate_pairs_device_budgeted(
+            D, locality, loc_thresh, loc_min, budget_cap,
+            block=block, verbose=verbose, _pre=(S, sid, eff),
+        )
     P_cnt = np.asarray(
         sum(pc_cols[1:], pc_cols[0])
     ) + np.concatenate([np.asarray(r) for r in pc_rows])[:nx]
@@ -501,6 +527,7 @@ def candidate_pairs_device_budgeted(
     block: int = 4096,
     nbins: int = 256,
     verbose: bool = False,
+    _pre=None,
 ):
     """Two-pass streaming pair build: tracked pairs bounded by the
     *budgeted* set (each point's `per_point_cap` smallest-lower-bound
@@ -523,10 +550,15 @@ def candidate_pairs_device_budgeted(
     from annchor_tpu.progress import progress
 
     nx = np.asarray(D).shape[0]
-    S, sid = anchor_membership(D, locality)
-    eff = effective_thresholds(
-        S, loc_thresh, loc_min, block=block, locality=locality
-    )
+    if _pre is not None:
+        # membership + thresholds precomputed by the counting pass
+        # that decided to budget (candidate_pairs_device)
+        S, sid, eff = _pre
+    else:
+        S, sid = anchor_membership(D, locality)
+        eff = effective_thresholds(
+            S, loc_thresh, loc_min, block=block, locality=locality
+        )
     eff_j = jnp.asarray(eff)
     D32 = jnp.asarray(np.asarray(D), dtype=jnp.float32)
     lb_max = float(2.0 * np.asarray(D).max()) + 1e-6

@@ -209,6 +209,54 @@ def test_budgeted_pair_build_fit(_force_sparse):
     assert err <= 2
 
 
+def test_auto_budget_switch(_force_sparse):
+    """Without an explicit ANNCHOR_TPU_PAIR_CAP, the counting pass
+    switches to the budgeted build when the admitted set exceeds
+    ANNCHOR_TPU_MAX_RESIDENT_PAIRS, with the cap derived from p_work
+    — and that auto fit is identical to the same fit run with the
+    derived cap set explicitly."""
+    from sklearn.datasets import make_blobs
+
+    import annchor_tpu as at
+
+    X, _ = make_blobs(
+        n_samples=700, centers=6, n_features=5, random_state=9
+    )
+    kwargs = dict(
+        func="euclidean", n_anchors=12, n_neighbors=10,
+        n_samples=900, p_work=0.3, random_seed=42,
+    )
+    derived_cap = max(4 * 10, int(round(0.7 * 0.3 * 700)))
+
+    os.environ["ANNCHOR_TPU_MAX_RESIDENT_PAIRS"] = "5000"
+    try:
+        auto = at.Annchor(X, **kwargs)
+        auto.fit()
+    finally:
+        os.environ.pop("ANNCHOR_TPU_MAX_RESIDENT_PAIRS", None)
+
+    os.environ["ANNCHOR_TPU_PAIR_CAP"] = str(derived_cap)
+    try:
+        explicit = at.Annchor(X, **kwargs)
+        explicit.fit()
+    finally:
+        os.environ.pop("ANNCHOR_TPU_PAIR_CAP", None)
+
+    assert (
+        auto.neighbor_graph[0] == explicit.neighbor_graph[0]
+    ).all()
+    np.testing.assert_array_equal(
+        auto.neighbor_graph[1], explicit.neighbor_graph[1]
+    )
+
+    bf = at.BruteForce(X, "euclidean")
+    bf.fit()
+    err = at.compare_neighbor_graphs(
+        bf.neighbor_graph, auto.neighbor_graph, 10
+    )
+    assert err <= 2
+
+
 @pytest.mark.parametrize("cap", [25, 10**6])
 def test_budgeted_pair_build_multiband_counts(cap):
     """Multi-band budgeted build: returned P_cnt must equal the counts
