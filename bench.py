@@ -57,8 +57,19 @@ def main():
         return ann, dt
 
     # warm-up: compile every kernel (reference excludes numba JIT time,
-    # BASELINE.md "First run excludes numba JIT compile time")
-    _, warm_s = build()
+    # BASELINE.md "First run excludes numba JIT compile time").
+    # A transient relay outage (UNAVAILABLE mid-session) gets one
+    # bounded retry — the recorded number should reflect the
+    # framework, not a network blip.
+    try:
+        _, warm_s = build()
+    except Exception as err:
+        if "UNAVAILABLE" not in str(err) and "Unavailable" not in str(err):
+            raise
+        print("warm-up hit transient UNAVAILABLE; retrying in 60 s",
+              file=sys.stderr)
+        time.sleep(60)
+        _, warm_s = build()
 
     # best of eight timed runs: dispatch/transfer latency through a
     # remote-TPU tunnel is noisy (observed 3-9 s spread on identical
