@@ -1326,9 +1326,11 @@ class DeviceFitState:
             if self.sparse
             else self.exact64[clipped]
         )
-        ngd = np.where(
-            (pair_ids < self.m) & ~np.isnan(exact), exact, ra_sel
-        )
+        is_exact = (pair_ids < self.m) & ~np.isnan(exact)
+        # which reported edges carry exact vs predicted values — the
+        # post-fit refine pass certifies the predicted ones first
+        self.ng_exact_mask = is_exact
+        ngd = np.where(is_exact, exact, ra_sel)
         return ngi, ngd
 
     # -- host materialisation (plug-in / persistence surface) ---------------

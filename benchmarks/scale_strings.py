@@ -58,6 +58,10 @@ def main(argv=None):
     # warm-up fit first so the timed figure excludes XLA compilation,
     # matching the baseline protocol (reference excludes numba JIT)
     ap.add_argument("--warm", action="store_true")
+    # post-fit graph-expansion refinement: extra exact-eval budget as
+    # a fraction of the brute-force pair count (0 disables)
+    ap.add_argument("--expand-evals", type=float, default=0.0)
+    ap.add_argument("--expand-rounds", type=int, default=3)
     args = ap.parse_args(argv)
 
     import annchor_tpu as at
@@ -95,6 +99,18 @@ def main(argv=None):
     if args.warm:
         _, warm_s = build(verbose=False)
     ann, build_s = build(verbose=True)
+
+    expand_s = 0.0
+    if args.expand_evals > 0:
+        # post-fit graph-expansion refinement: recover true edges the
+        # pair budget / locality filter discarded, at a bounded extra
+        # exact-eval cost (Annchor.refine_neighbor_graph)
+        t0 = time.perf_counter()
+        ann.refine_neighbor_graph(
+            rounds=args.expand_rounds,
+            budget=int(args.expand_evals * ann.N),
+        )
+        expand_s = time.perf_counter() - t0
 
     # sampled exact-recall check
     rng = np.random.default_rng(0)
@@ -165,6 +181,10 @@ def main(argv=None):
     }
     if warm_s is not None:
         result["warmup_s"] = round(warm_s, 2)
+    if args.expand_evals > 0:
+        result["expand_evals_frac"] = args.expand_evals
+        result["expand_rounds"] = args.expand_rounds
+        result["expand_s"] = round(expand_s, 2)
     print(json.dumps(result))
     return 0
 

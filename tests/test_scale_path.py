@@ -209,6 +209,50 @@ def test_budgeted_pair_build_fit(_force_sparse):
     assert err <= 2
 
 
+def test_refine_neighbor_graph_recovers_budget_losses(_force_sparse):
+    """Graph-expansion refinement (exact-fit form of the certify /
+    query expansion): a fit starved by a tight pair cap loses true
+    edges that 2-hop expansion recovers, within an explicit extra
+    eval budget."""
+    from sklearn.datasets import make_blobs
+
+    import annchor_tpu as at
+
+    X, _ = make_blobs(
+        n_samples=800, centers=8, n_features=5, random_state=11
+    )
+    os.environ["ANNCHOR_TPU_PAIR_CAP"] = "40"
+    try:
+        ann = at.Annchor(
+            X, "euclidean", n_anchors=12, n_neighbors=10,
+            n_samples=1000, p_work=0.15, random_seed=42,
+        )
+        ann.fit()
+    finally:
+        os.environ.pop("ANNCHOR_TPU_PAIR_CAP", None)
+    bf = at.BruteForce(X, "euclidean")
+    bf.fit()
+    err_before = at.compare_neighbor_graphs(
+        bf.neighbor_graph, ann.neighbor_graph, 10
+    )
+    evals_before = ann.evals
+    ann.refine_neighbor_graph(rounds=3, budget=6000)
+    err_after = at.compare_neighbor_graphs(
+        bf.neighbor_graph, ann.neighbor_graph, 10
+    )
+    assert ann.evals - evals_before <= 6000
+    assert err_after < err_before or err_before == 0
+    # measured: 10 -> 3 on this seed; keep headroom for numeric drift
+    assert err_after <= err_before // 2
+
+    # default budget is the unspent p_work allowance: never exceeds
+    # the fit's contract
+    allowance = max(0, int(ann.p_work * ann.N) - ann.evals)
+    ev0 = ann.evals
+    ann.refine_neighbor_graph(rounds=1)
+    assert ann.evals - ev0 <= allowance
+
+
 def test_auto_budget_switch(_force_sparse):
     """Without an explicit ANNCHOR_TPU_PAIR_CAP, the counting pass
     switches to the budgeted build when the admitted set exceeds
