@@ -44,6 +44,13 @@ def save_annchor(ann, path: str) -> None:
         "features": np.asarray(ann.features, dtype=np.float64),
         "ng_i": np.asarray(ann.neighbor_graph[0], dtype=np.int64),
         "ng_d": np.asarray(ann.neighbor_graph[1], dtype=np.float64),
+        # per-edge exactness (optional, additive): lets a loaded index
+        # run refine_neighbor_graph's certify pass correctly
+        "ng_exact": np.asarray(
+            getattr(ann, "_ng_exact", None)
+            if getattr(ann, "_ng_exact", None) is not None
+            else np.ones_like(ann.neighbor_graph[0], dtype=bool)
+        ),
         # regression (SimpleStratifiedLinearRegression state)
         "reg_coefs": np.asarray(reg.coefs, dtype=np.float64),
         "reg_intercepts": np.asarray(reg.intercepts, dtype=np.float64),
@@ -100,6 +107,8 @@ def load_annchor(path: str, X, func, func_kwargs=None, **kwargs):
         "lower bound", "upper bound", "double anchor distance", "is anchor",
     ]
     ann.neighbor_graph = (z["ng_i"], z["ng_d"])
+    if "ng_exact" in z.files:
+        ann._ng_exact = z["ng_exact"]
     ann.evals = int(z["evals"])
     ann.P_idx, ann.P_cnt = pair_ops.build_point_index(ann.IJs, ann.nx)
 
