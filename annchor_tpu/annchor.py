@@ -71,6 +71,11 @@ class Annchor:
         None/"threading" -> shared thread pool,
         "loky"/"multiprocessing" -> spawned process pool (the metric
         must be picklable; unpicklable closures fall back to serial).
+    refine_frac / refine_rounds: hold back refine_frac of the p_work
+        allowance and spend it after the fit on graph-expansion
+        refinement (refine_neighbor_graph) — same total eval budget,
+        redirected at near-misses; recovers edges outside the
+        candidate set.  0 (default) reproduces the reference flow.
     """
 
     def __init__(
@@ -97,6 +102,8 @@ class Annchor:
         niters=2,
         lookahead=5,
         trace_dir=None,
+        refine_frac=0.0,
+        refine_rounds=3,
     ):
         self.X = X
         self.nx = len(X)
@@ -149,6 +156,11 @@ class Annchor:
         self.is_metric = bool(is_metric) and self.metric.is_metric
         self.niters = niters
         self.lookahead = lookahead
+        # budget split: reserve refine_frac of the p_work allowance
+        # for post-fit graph-expansion refinement (same total evals,
+        # redirected at the near-misses the in-fit ranking leaves)
+        self.refine_frac = float(np.clip(refine_frac, 0.0, 0.9))
+        self.refine_rounds = int(refine_rounds)
         self.trace_dir = trace_dir
 
         self._features = None
@@ -646,13 +658,24 @@ class Annchor:
             self.features, self.feature_names
         )
 
+    @property
+    def _p_work_fit(self):
+        """The in-fit share of the eval allowance: refine_frac of
+        p_work is held back for post-fit graph-expansion refinement
+        (same total budget, redirected).  Scout/certify hybrids keep
+        the full allowance — their exploration runs on the scout and
+        certify already includes graph expansion."""
+        if self._scouting:
+            return self.p_work
+        return self.p_work * (1.0 - self.refine_frac)
+
     def select_refine_candidate_pairs(self, w=0.5, it=0):
         """Spend the refine budget on the pairs most likely to be true
         k-NN edges (reference annchor.py:395-473)."""
         nn = self.n_neighbors
         if self._dev is not None:
             n_refine = int(
-                (self.p_work * self.N - self.na - self.n_samples) * w
+                (self._p_work_fit * self.N - self.na - self.n_samples) * w
             ) + 1
             self.nextback = np.zeros(0, dtype=np.int64)
             if self._dev_eval is not None:
@@ -710,7 +733,7 @@ class Annchor:
         )
 
         n_refine = int(
-            (self.p_work * self.N - self.na - self.n_samples) * w
+            (self._p_work_fit * self.N - self.na - self.n_samples) * w
         ) + 1
         n_refine = max(n_refine, 0)
 
@@ -1057,6 +1080,14 @@ class Annchor:
         self.get_ann()
         if self.verbose:
             timeit("get_ann", origin, start)
+
+        if self.refine_frac > 0 and not self._scouting:
+            # spend the held-back refine_frac share of p_work on
+            # post-fit graph-expansion refinement (same total budget)
+            start = time.time()
+            self.refine_neighbor_graph(rounds=self.refine_rounds)
+            if self.verbose:
+                timeit("refine_neighbor_graph", origin, start)
 
     def refine_neighbor_graph(self, rounds=2, budget=None):
         """Post-fit graph-expansion refinement: spend extra exact

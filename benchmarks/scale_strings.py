@@ -62,6 +62,9 @@ def main(argv=None):
     # a fraction of the brute-force pair count (0 disables)
     ap.add_argument("--expand-evals", type=float, default=0.0)
     ap.add_argument("--expand-rounds", type=int, default=3)
+    # same-total-budget variant: hold back this share of p_work for
+    # the post-fit refinement instead of adding extra evals
+    ap.add_argument("--refine-frac", type=float, default=0.0)
     args = ap.parse_args(argv)
 
     import annchor_tpu as at
@@ -90,6 +93,8 @@ def main(argv=None):
             niters=args.niters,
             random_seed=args.seed,
             verbose=verbose,
+            refine_frac=args.refine_frac,
+            refine_rounds=args.expand_rounds,
         )
         t0 = time.perf_counter()
         ann.fit()
@@ -185,6 +190,8 @@ def main(argv=None):
         result["expand_evals_frac"] = args.expand_evals
         result["expand_rounds"] = args.expand_rounds
         result["expand_s"] = round(expand_s, 2)
+    if args.refine_frac > 0:
+        result["refine_frac"] = args.refine_frac
     print(json.dumps(result))
     return 0
 
