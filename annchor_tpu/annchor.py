@@ -443,7 +443,7 @@ class Annchor:
                 )
                 auto_cap = max(
                     4 * self.n_neighbors,
-                    int(round(0.7 * self.p_work * self.nx)),
+                    int(round(0.7 * self._p_work_fit * self.nx)),
                 )
                 (
                     ij_i, ij_j, m,
@@ -1104,14 +1104,19 @@ class Annchor:
         neighbour j of i, screens by the triangle lower bound
         |d(i,j) - d(j,l)| against the rows' kth distances (a pair that
         cannot displace either endpoint's kth is never evaluated),
-        evaluates the smallest-lower-bound survivors under the budget,
-        and merges.
+        then evaluates survivors under the budget in per-point fair
+        shares ordered by the triangle upper bound d(i,j) + d(j,l)
+        (provably-close first), and merges.
 
         budget: extra exact evaluations allowed.  Default: the
         unspent p_work allowance (int(p_work * N) - evals, floored at
         0) — so the default call never exceeds the fit's contract.
         Returns the refined (indices, distances) and updates
         ``self.neighbor_graph`` and ``self.evals``."""
+        if self.neighbor_graph is None:
+            raise ValueError(
+                "refine_neighbor_graph: fit() has not been run"
+            )
         nx = self.nx
         ngi, ngd = self.neighbor_graph
         kk = ngi.shape[1] - 1  # columns past the self-prepend
