@@ -76,6 +76,9 @@ class Annchor:
         refinement (refine_neighbor_graph) — same total eval budget,
         redirected at near-misses; recovers edges outside the
         candidate set.  0 (default) reproduces the reference flow.
+        Split only when the fit is *coverage-limited* (tight pair
+        caps / selective filters): with full candidate coverage the
+        re-targeted in-fit evals beat post-hoc expansion (SCALE.md).
     """
 
     def __init__(
