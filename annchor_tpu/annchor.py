@@ -432,13 +432,40 @@ class Annchor:
                     self.D, self.locality, self.loc_thresh,
                     self.loc_min, pair_cap, verbose=self.verbose,
                 )
+            elif self.is_metric and not os.environ.get(
+                "ANNCHOR_TPU_NO_PAIR_BUDGET"
+            ):
+                # metric fits default to the budgeted build with the
+                # cap matched to the refine budget: keeping each
+                # point's 0.7 * p_work * nx smallest-lower-bound
+                # candidates concentrates every per-pair pass on pairs
+                # the budget could ever refine.  Measured (SCALE.md):
+                # identical eval counts, equal-or-better recall, and
+                # up to ~11x faster fits than the uncapped build —
+                # the lb-ranked discard loses almost no truth in a
+                # metric space.  ANNCHOR_TPU_NO_PAIR_BUDGET=1 restores
+                # the admit-everything build.
+                from annchor_tpu.ops.locality import (
+                    candidate_pairs_device_budgeted,
+                )
+
+                auto_cap = max(
+                    4 * self.n_neighbors,
+                    int(round(0.7 * self._p_work_fit * self.nx)),
+                )
+                (
+                    ij_i, ij_j, m,
+                    self.sid, self.S, self.loc_eff, self.P_cnt,
+                ) = candidate_pairs_device_budgeted(
+                    self.D, self.locality, self.loc_thresh,
+                    self.loc_min, auto_cap, verbose=self.verbose,
+                )
             else:
-                # no explicit cap: the counting pass auto-switches to
-                # the budgeted build when the admitted set would OOM
-                # the fit's O(m) device state, with the per-point cap
-                # matched to the refine budget (SCALE.md: at the
-                # measured optimum cap ~ 0.7 * p_work * nx — wider
-                # candidate sets dilute the fixed refine budget)
+                # non-metric fits (triangle lb invalid as a ranking
+                # signal): admit everything the filter keeps; the
+                # counting pass still falls back to the budgeted
+                # build when the admitted set would OOM the fit's
+                # O(m) device state
                 max_res = int(
                     os.environ.get(
                         "ANNCHOR_TPU_MAX_RESIDENT_PAIRS", str(10**8)

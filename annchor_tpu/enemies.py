@@ -47,7 +47,25 @@ def get_nearest_enemies(ann, y, nn=3, loc_min=100):
     eff_e = effective_thresholds(
         ann.S, ann.loc_thresh, loc_min, label_neq=y
     )
-    IJ_new = enemy_candidate_pairs(ann.S, y, eff_e, ann.loc_eff)
+    if getattr(ann, "_ij_dev", None) is not None:
+        # device-built pair lists may be budget-capped (the default
+        # for metric fits): "admitted by the main filter" no longer
+        # implies "tracked", so generate every enemy candidate and
+        # dedupe against the actual pair list explicitly
+        loc_eff_excl = np.full(ann.nx, np.inf, dtype=np.float32)
+    else:
+        loc_eff_excl = ann.loc_eff
+    IJ_new = enemy_candidate_pairs(ann.S, y, eff_e, loc_eff_excl)
+    if (
+        getattr(ann, "_ij_dev", None) is not None
+        and IJ_new.shape[0]
+    ):
+        old = ann.IJs
+        keys_old = old[:, 0].astype(np.int64) * nx + old[:, 1]
+        keys_new = (
+            IJ_new[:, 0].astype(np.int64) * nx + IJ_new[:, 1]
+        )
+        IJ_new = IJ_new[~np.isin(keys_new, keys_old)]
 
     # --- features + predicted distances for the new pairs
     fnames, feats_new, ncm_new = ann.get_features_IJ(IJ_new)
