@@ -553,13 +553,16 @@ class Annchor:
     def _make_device_eval(self):
         """Device-id metric eval closure for the fused fit pipeline,
         or None.  Only the default evaluator qualifies (a user
-        get_exact_ijs and the scout hybrid keep the host hop, whose
-        exact call sequence is part of their contract), and only off
-        the sharded path (whose bit-identity tests pin the unfused
-        flow)."""
+        get_exact_ijs keeps the host hop, whose exact call sequence is
+        part of the plug-in contract).  Works on the sharded path too:
+        selection coordinates come back replicated, the metric kernel
+        evaluates them replicated, and the scatter lands on the
+        owning shard — values are bit-identical to the unfused flow
+        (same kernel, same f32 math), which the sharded-vs-single
+        equality tests continue to pin."""
         if os.environ.get("ANNCHOR_TPU_DISABLE_FUSED_EVAL"):
             return None
-        if self._dev is None or self._dev.shard is not None:
+        if self._dev is None:
             return None
         if not getattr(self.get_exact_ijs, "_annchor_default", False):
             return None

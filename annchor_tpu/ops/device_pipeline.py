@@ -1199,18 +1199,33 @@ class DeviceFitState:
         if n_ref <= 0:
             self.thresh = None
             return 0
-        chosen, thresh, sel_i, sel_j = _select(
-            self.RA, self.ncm, self.ij_i, self.ij_j, self.dad,
-            self.P_idx_d, inner,
-            jnp.asarray(grid), jnp.asarray(lo), jnp.asarray(inv),
-            jnp.asarray(hi),
-            int(nn), n_ref, bool(guarantee), int(nmin),
-        )
+        if self.shard is not None:
+            chosen, thresh, sel_i, sel_j = self.shard.select(
+                self.RA, self.ncm, self.ij_i, self.ij_j, self.dad,
+                self.P_idx_d, inner,
+                jnp.asarray(grid), jnp.asarray(lo), jnp.asarray(inv),
+                jnp.asarray(hi),
+                int(nn), n_ref, bool(guarantee), int(nmin),
+            )
+        else:
+            chosen, thresh, sel_i, sel_j = _select(
+                self.RA, self.ncm, self.ij_i, self.ij_j, self.dad,
+                self.P_idx_d, inner,
+                jnp.asarray(grid), jnp.asarray(lo), jnp.asarray(inv),
+                jnp.asarray(hi),
+                int(nn), n_ref, bool(guarantee), int(nmin),
+            )
         self.thresh = thresh
         y = batch_dev(sel_i.astype(jnp.int32), sel_j.astype(jnp.int32))
-        self.RA, self.ncm = _scatter_exact(
-            self.RA, self.ncm, chosen, y.astype(jnp.float32)
-        )
+        if self.shard is not None:
+            self.RA, self.ncm = self.shard.scatter_exact(
+                self.RA, self.ncm,
+                chosen.astype(jnp.int32), y.astype(jnp.float32),
+            )
+        else:
+            self.RA, self.ncm = _scatter_exact(
+                self.RA, self.ncm, chosen, y.astype(jnp.float32)
+            )
         # `chosen` is n_ref *distinct uncomputed* ids by construction
         # (computed pairs score -1 in _select and n_ref <= pool), so
         # the budget can be accounted immediately; the host mirrors
