@@ -1,0 +1,200 @@
+"""Post-fit graph-expansion refinement (exact-fit form of the
+scout certify pass and the query path's graph-guided expansion).
+
+Hosts the host-side orchestration: the metric evaluations run through
+the fitted index's batched evaluator, everything else is flat-array
+numpy over the (point, partner, distance) pool.  See
+Annchor.refine_neighbor_graph for the public entry point.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["refine_neighbor_graph"]
+
+
+def refine_neighbor_graph(ann, rounds=2, budget=None):
+    """Post-fit graph-expansion refinement: spend extra exact
+    metric calls on the 2-hop neighbourhood of the fitted graph
+    and re-rank.
+
+    A true neighbour the candidate filter or pair budget discarded
+    is almost always a graph-neighbour of a found one — the same
+    expansion drives the scout certify pass (`_certify`) and the
+    query path's graph-guided refinement; this is its exact-fit
+    form.  First the reported-but-predicted edges are certified
+    (exactly re-evaluated, cheapest wins first); then each round
+    proposes (i, l) for every l in the row of every current
+    neighbour j of i, screens by the triangle lower bound
+    |d(i,j) - d(j,l)| against the rows' kth distances (a pair that
+    cannot displace either endpoint's kth is never evaluated),
+    then evaluates survivors under the budget in per-point fair
+    shares ordered by the triangle upper bound d(i,j) + d(j,l)
+    (provably-close first), and merges.
+
+    budget: extra exact evaluations allowed.  Default: the
+    unspent p_work allowance (int(p_work * N) - evals, floored at
+    0) — so the default call never exceeds the fit's contract.
+    Returns the refined (indices, distances) and updates
+    ``ann.neighbor_graph`` and ``ann.evals``."""
+    if ann.neighbor_graph is None:
+        raise ValueError(
+            "refine_neighbor_graph: fit() has not been run"
+        )
+    nx = ann.nx
+    ngi, ngd = ann.neighbor_graph
+    kk = ngi.shape[1] - 1  # columns past the self-prepend
+    if budget is None:
+        budget = max(0, int(ann.p_work * ann.N) - ann.evals)
+    budget = int(budget)
+
+    def _exact(IJ):
+        # always the exact metric, even after a hybrid fit (where
+        # get_exact_ijs is still the scout): refinement certifies
+        geq = (
+            ann._exact_eval if ann._scouting else ann.get_exact_ijs
+        )
+        d = np.asarray(
+            geq(ann.f, ann.X, IJ), dtype=np.float64
+        )
+        ann.evals += d.shape[0]
+        return d
+
+    # canonical pair pool {min*nx+max: value} as sorted arrays
+    rows0 = np.repeat(np.arange(nx, dtype=np.int64), kk)
+    cols0 = ngi[:, 1:].reshape(-1).astype(np.int64)
+    vals0 = ngd[:, 1:].reshape(-1).astype(np.float64)
+    ngx = getattr(ann, "_ng_exact", None)
+    if ngx is not None and ngx.shape == ngi.shape:
+        flags0 = ngx[:, 1:].reshape(-1)
+    else:  # unknown provenance (e.g. loaded index): treat exact
+        flags0 = np.ones(rows0.shape[0], dtype=bool)
+    ok = (cols0 >= 0) & (cols0 != rows0)
+    keys = (
+        np.minimum(rows0[ok], cols0[ok]) * nx
+        + np.maximum(rows0[ok], cols0[ok])
+    )
+    order = np.lexsort((~flags0[ok], keys))
+    keys_s = keys[order]
+    first = np.ones(keys_s.shape[0], dtype=bool)
+    first[1:] = keys_s[1:] != keys_s[:-1]
+    pool_keys = keys_s[first]
+    pool_vals = vals0[ok][order][first]
+    # exact-wins dedupe: a pair reported from both endpoint rows
+    # keeps its exact flag if either carries one
+    pool_exact = flags0[ok][order][first]
+
+    spent = 0
+    todo = np.flatnonzero(~pool_exact)
+    if todo.size and budget > 0:
+        # certify predicted reported edges, smallest first (they
+        # sit highest in their rows' top-k lists)
+        todo = todo[np.argsort(pool_vals[todo], kind="stable")]
+        todo = todo[:budget]
+        a = pool_keys[todo] // nx
+        b = pool_keys[todo] % nx
+        pool_vals[todo] = _exact(np.stack([a, b], axis=1))
+        pool_exact[todo] = True
+        spent += todo.shape[0]
+
+    def row_lists():
+        a = pool_keys // nx
+        b = pool_keys % nx
+        pr = np.concatenate([a, b])
+        pc = np.concatenate([b, a])
+        pv = np.concatenate([pool_vals, pool_vals])
+        px = np.concatenate([pool_exact, pool_exact])
+        order = np.lexsort((pv, pr))
+        pr_s = pr[order]
+        starts = np.searchsorted(pr_s, np.arange(nx))
+        rank = np.arange(pr_s.shape[0]) - starts[pr_s]
+        sel = rank < kk
+        gi = np.full((nx, kk), -1, dtype=np.int64)
+        gd = np.full((nx, kk), np.inf)
+        gx = np.ones((nx, kk), dtype=bool)
+        gi[pr_s[sel], rank[sel]] = pc[order][sel]
+        gd[pr_s[sel], rank[sel]] = pv[order][sel]
+        gx[pr_s[sel], rank[sel]] = px[order][sel]
+        return gi, gd, gx
+
+    for r in range(int(rounds)):
+        left = budget - spent
+        if left <= 0:
+            break
+        share = left if r == rounds - 1 else max(
+            1, left // (rounds - r)
+        )
+        gi, gd, _ = row_lists()
+        kth = gd[:, -1]
+        # candidates: i -> j (with d_ij) -> l (with d_jl)
+        vi, vj = np.nonzero(gi >= 0)
+        j = gi[vi, vj]
+        d_ij = gd[vi, vj]
+        src = np.repeat(vi, kk)
+        d_ij_r = np.repeat(d_ij, kk)
+        l = gi[j].reshape(-1)
+        d_jl = gd[j].reshape(-1)
+        ok = (l >= 0) & (l != src) & np.isfinite(d_jl)
+        src, l = src[ok], l[ok]
+        lb = np.abs(d_ij_r[ok] - d_jl[ok])
+        ub = d_ij_r[ok] + d_jl[ok]
+        # displacement screen on either endpoint's kth
+        adm = lb < np.maximum(kth[src], kth[l])
+        src, l, ub = src[adm], l[adm], ub[adm]
+        # budget priority: per-point fair shares, triangle *upper*
+        # bound (provably-close first) within each point's slate —
+        # a global ub order lets dense neighbourhoods starve the
+        # sparse rows that actually need repair; the lower bound
+        # screens but near zero it does not rank
+        rorder = np.lexsort((ub, src))
+        src_s = np.sort(src)
+        starts = np.searchsorted(src_s, np.arange(nx))
+        rank = (np.arange(src_s.shape[0]) - starts[src_s]).astype(
+            np.int64
+        )
+        src, l, ub = src[rorder], l[rorder], ub[rorder]
+        ckey = np.minimum(src, l) * nx + np.maximum(src, l)
+        # best (rank, ub) per candidate key wins the dedupe
+        order = np.lexsort((ub, rank, ckey))
+        ckey, ub, rank = ckey[order], ub[order], rank[order]
+        fresh = np.ones(ckey.shape[0], dtype=bool)
+        fresh[1:] = ckey[1:] != ckey[:-1]
+        ckey, ub, rank = ckey[fresh], ub[fresh], rank[fresh]
+        pos = np.searchsorted(pool_keys, ckey)
+        pos = np.clip(pos, 0, max(pool_keys.shape[0] - 1, 0))
+        new = (
+            pool_keys[pos] != ckey
+            if pool_keys.size
+            else np.ones(ckey.shape[0], dtype=bool)
+        )
+        ckey, ub, rank = ckey[new], ub[new], rank[new]
+        if ckey.size == 0:
+            break
+        if ckey.shape[0] > share:
+            keep = np.lexsort((ub, rank))[:share]
+            ckey = ckey[keep]
+        a = ckey // nx
+        b = ckey % nx
+        d = _exact(np.stack([a, b], axis=1))
+        spent += ckey.shape[0]
+        pool_keys = np.concatenate([pool_keys, ckey])
+        pool_vals = np.concatenate([pool_vals, d])
+        pool_exact = np.concatenate(
+            [pool_exact, np.ones(ckey.shape[0], dtype=bool)]
+        )
+        order = np.argsort(pool_keys, kind="stable")
+        pool_keys = pool_keys[order]
+        pool_vals = pool_vals[order]
+        pool_exact = pool_exact[order]
+
+    gi, gd, gx = row_lists()
+    ann.neighbor_graph = (
+        np.concatenate([np.arange(nx)[:, None], gi], axis=1),
+        np.concatenate([np.zeros((nx, 1)), gd], axis=1),
+    )
+    ann._ng_exact = np.concatenate(
+        [np.ones((nx, 1), dtype=bool), gx], axis=1
+    )
+    return ann.neighbor_graph
+
