@@ -449,9 +449,12 @@ class Annchor:
                     candidate_pairs_device_budgeted,
                 )
 
+                cap_f = float(
+                    os.environ.get("ANNCHOR_TPU_PAIR_CAP_FACTOR", "0.7")
+                )
                 auto_cap = max(
                     4 * self.n_neighbors,
-                    int(round(0.7 * self._p_work_fit * self.nx)),
+                    int(round(cap_f * self._p_work_fit * self.nx)),
                 )
                 (
                     ij_i, ij_j, m,
@@ -471,9 +474,12 @@ class Annchor:
                         "ANNCHOR_TPU_MAX_RESIDENT_PAIRS", str(10**8)
                     )
                 )
+                cap_f = float(
+                    os.environ.get("ANNCHOR_TPU_PAIR_CAP_FACTOR", "0.7")
+                )
                 auto_cap = max(
                     4 * self.n_neighbors,
-                    int(round(0.7 * self._p_work_fit * self.nx)),
+                    int(round(cap_f * self._p_work_fit * self.nx)),
                 )
                 (
                     ij_i, ij_j, m,
