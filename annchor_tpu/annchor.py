@@ -29,7 +29,6 @@ import numpy as np
 
 from annchor_tpu.error_predictors import SimpleStratifiedErrorRegression
 from annchor_tpu.metrics import (
-    Metric,
     get_function_from_input,
     make_get_exact_ijs,
     make_get_exact_query_ijs,

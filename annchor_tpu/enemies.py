@@ -11,7 +11,6 @@ from __future__ import annotations
 import numpy as np
 
 from annchor_tpu.ops import pairs as pair_ops
-from annchor_tpu.ops.features import anchor_membership
 from annchor_tpu.ops.locality import (
     effective_thresholds,
     enemy_candidate_pairs,

@@ -30,7 +30,6 @@ so a sharded fit computes the *same* graph as the single-chip fit
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
