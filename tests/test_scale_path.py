@@ -272,6 +272,44 @@ def test_refine_neighbor_graph_recovers_budget_losses(_force_sparse):
     assert err_split <= err_before // 2
 
 
+def test_refine_graph_invariants(_force_sparse):
+    """Refined rows must stay structurally sound: self-prepended,
+    ascending distances, no duplicate partners, and never worse than
+    the pre-refine rows under the exact metric."""
+    from sklearn.datasets import make_blobs
+
+    import annchor_tpu as at
+
+    X, _ = make_blobs(
+        n_samples=500, centers=5, n_features=4, random_state=3
+    )
+    os.environ["ANNCHOR_TPU_PAIR_CAP"] = "30"
+    try:
+        ann = at.Annchor(
+            X, "euclidean", n_anchors=10, n_neighbors=8,
+            n_samples=600, p_work=0.2, random_seed=1,
+        )
+        ann.fit()
+    finally:
+        os.environ.pop("ANNCHOR_TPU_PAIR_CAP", None)
+    gi0, gd0 = (a.copy() for a in ann.neighbor_graph)
+    ann.refine_neighbor_graph(rounds=2, budget=3000)
+    gi, gd = ann.neighbor_graph
+
+    assert (gi[:, 0] == np.arange(500)).all()
+    assert (gd[:, 0] == 0).all()
+    assert (np.diff(gd[:, 1:], axis=1) >= 0).all()
+    for r in range(0, 500, 37):  # duplicate-partner spot check
+        row = gi[r][gi[r] >= 0]
+        assert len(set(row.tolist())) == len(row)
+    # exact distances per row never regress: compare kth true distance
+    D = np.linalg.norm(X[:, None, :] - X[None, :, :], axis=2)
+    true_k0 = D[np.arange(500)[:, None], gi0[:, 1:]].max(axis=1)
+    true_k1 = D[np.arange(500)[:, None], gi[:, 1:]].max(axis=1)
+    assert (true_k1 <= true_k0 + 1e-9).mean() > 0.97
+    assert ann._ng_exact.shape == gi.shape
+
+
 def test_auto_budget_switch(_force_sparse):
     """Without an explicit ANNCHOR_TPU_PAIR_CAP, the counting pass
     switches to the budgeted build when the admitted set exceeds
