@@ -127,35 +127,68 @@ def refine_neighbor_graph(ann, rounds=2, budget=None):
         )
         gi, gd, _ = row_lists()
         kth = gd[:, -1]
-        # candidates: i -> j (with d_ij) -> l (with d_jl)
-        vi, vj = np.nonzero(gi >= 0)
-        j = gi[vi, vj]
-        d_ij = gd[vi, vj]
-        src = np.repeat(vi, kk)
-        d_ij_r = np.repeat(d_ij, kk)
-        l = gi[j].reshape(-1)
-        d_jl = gd[j].reshape(-1)
-        ok = (l >= 0) & (l != src) & np.isfinite(d_jl)
-        src, l = src[ok], l[ok]
-        lb = np.abs(d_ij_r[ok] - d_jl[ok])
-        ub = d_ij_r[ok] + d_jl[ok]
-        # displacement screen on either endpoint's kth
-        adm = lb < np.maximum(kth[src], kth[l])
-        src, l, ub = src[adm], l[adm], ub[adm]
-        # budget priority: per-point fair shares, triangle *upper*
-        # bound (provably-close first) within each point's slate —
-        # a global ub order lets dense neighbourhoods starve the
-        # sparse rows that actually need repair; the lower bound
-        # screens but near zero it does not rank
-        rorder = np.lexsort((ub, src))
-        src_s = np.sort(src)
-        starts = np.searchsorted(src_s, np.arange(nx))
-        rank = (np.arange(src_s.shape[0]) - starts[src_s]).astype(
-            np.int64
+        # candidates: i -> j (with d_ij) -> l (with d_jl), held as
+        # per-row (nx, kk*kk) matrices so the per-point fair-share
+        # ranking is a row argpartition, NOT a global sort over all
+        # nx*kk*kk candidates (a ~20x host-time difference at 100k)
+        gi32 = gi.astype(np.int32)
+        gd32 = gd.astype(np.float32)
+        kth32 = kth.astype(np.float32)
+        jj = np.where(gi32 >= 0, gi32, 0)
+        l = gi32[jj].reshape(nx, kk * kk)
+        d_jl = gd32[jj].reshape(nx, kk * kk)
+        d_ij = np.repeat(gd32, kk, axis=1)
+        me = np.arange(nx, dtype=np.int32)[:, None]
+        ok = (
+            (np.repeat(gi32, kk, axis=1) >= 0)
+            & (l >= 0)
+            & (l != me)
+            & np.isfinite(d_jl)
         )
-        src, l, ub = src[rorder], l[rorder], ub[rorder]
-        ckey = np.minimum(src, l) * nx + np.maximum(src, l)
-        # best (rank, ub) per candidate key wins the dedupe
+        lb = np.abs(d_ij - d_jl)
+        ub = d_ij + d_jl
+        lsafe = np.where(l >= 0, l, 0)
+        # displacement screen on either endpoint's kth; budget
+        # priority = triangle *upper* bound (provably-close first)
+        # within each point's slate — a global ub order would let
+        # dense neighbourhoods starve the sparse rows that need repair
+        adm = ok & (lb < np.maximum(kth32[:, None], kth32[lsafe]))
+        # drop already-pooled pairs up front so the q fair-share slots
+        # hold only fresh candidates (the current graph edges are the
+        # smallest-ub entries and would otherwise fill every slate)
+        ckey_m = (
+            np.minimum(me, lsafe).astype(np.int64) * nx
+            + np.maximum(me, lsafe)
+        )
+        pos_m = np.clip(
+            np.searchsorted(pool_keys, ckey_m),
+            0,
+            max(pool_keys.shape[0] - 1, 0),
+        )
+        adm &= pool_keys[pos_m] != ckey_m
+        ubm = np.where(adm, ub, np.inf)
+        q = int(
+            min(
+                kk * kk,
+                max(kk, -(-2 * share // max(nx, 1)) + 2),
+            )
+        )
+        part = np.argpartition(ubm, q - 1, axis=1)[:, :q]
+        ubq = np.take_along_axis(ubm, part, axis=1)
+        lq = np.take_along_axis(lsafe, part, axis=1)
+        rord = np.argsort(ubq, axis=1, kind="stable")
+        ubq = np.take_along_axis(ubq, rord, axis=1)
+        lq = np.take_along_axis(lq, rord, axis=1)
+        keep2 = np.isfinite(ubq)
+        src = np.broadcast_to(me, (nx, q))[keep2].astype(np.int64)
+        rank = np.broadcast_to(
+            np.arange(q, dtype=np.int64)[None, :], (nx, q)
+        )[keep2]
+        lf = lq[keep2].astype(np.int64)
+        ub = ubq[keep2]
+        ckey = np.minimum(src, lf) * nx + np.maximum(src, lf)
+        # best (rank, ub) per candidate key wins the dedupe (the
+        # remaining sorts run over <= nx*q entries, not nx*kk*kk)
         order = np.lexsort((ub, rank, ckey))
         ckey, ub, rank = ckey[order], ub[order], rank[order]
         fresh = np.ones(ckey.shape[0], dtype=bool)
