@@ -30,6 +30,7 @@ nx x nx matrix.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -518,6 +519,309 @@ def _keep_counts(keep, ij_i, ij_j, nx_arr):
     return cnt.at[ij_j].add(w, mode="drop")
 
 
+_SHARDED_BUILD_CACHE: dict = {}
+
+
+class _ShardedBudgetedBuild:
+    """Sharded twin of the budgeted two-pass band loop: the mesh's s
+    chips each process one whole row band per program call (band
+    ``g*s + chip``), so band throughput scales with the mesh and the
+    per-group blocking downloads replace s per-band ones.
+
+    Bit-identity with the single-chip loop is by construction: the
+    keep masks and triangle lower bounds are the same math per band,
+    the lb histogram / P_cnt partials are int32 adds (associative
+    exactly) psum-combined once, and the kept pairs concatenate in
+    band order (group ascending, chip ascending == band ascending)
+    with the same in-band flatnonzero order.
+    """
+
+    def __init__(self, mesh, nblk: int, nx: int, na: int, nbins: int):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from annchor_tpu.parallel import PAIR_AXIS
+
+        self.mesh = mesh
+        self.axis = PAIR_AXIS
+        self.s = mesh.size
+        self.nblk = nblk
+        self.nx = nx
+        self.na = na
+        self.nbins = nbins
+        self.P = PartitionSpec
+        self.sh_part = NamedSharding(mesh, PartitionSpec(PAIR_AXIS))
+        self._cache = {}
+
+    @classmethod
+    def get(cls, mesh, nblk, nx, na, nbins):
+        key = (
+            tuple(d.id for d in mesh.devices.flat),
+            nblk, nx, na, nbins,
+        )
+        inst = _SHARDED_BUILD_CACHE.get(key)
+        if inst is None:
+            inst = _SHARDED_BUILD_CACHE[key] = cls(mesh, nblk, nx, na, nbins)
+        return inst
+
+    def _shmap(self, fn, in_specs, out_specs):
+        return jax.jit(
+            jax.shard_map(
+                fn,
+                mesh=self.mesh,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                check_vma=False,
+            )
+        )
+
+    def _band_keep(self, g, S_rows, eff_rows, S, eff_all):
+        """(keep, row_off) for this chip's band of group g."""
+        c = jax.lax.axis_index(self.axis)
+        row_off = (g * self.s + c) * self.nblk
+        Sb = jax.lax.dynamic_slice(
+            S_rows, (row_off, 0), (self.nblk, self.na)
+        )
+        eb = jax.lax.dynamic_slice(eff_rows, (row_off,), (self.nblk,))
+        counts = jax.lax.dot_general(
+            Sb, S,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        thr = jnp.minimum(eb[:, None], eff_all[None, :])
+        col_ids = jnp.arange(self.nx, dtype=jnp.int32)[None, :]
+        row_ids = row_off + jnp.arange(self.nblk, dtype=jnp.int32)[:, None]
+        keep = (counts >= thr) & (col_ids > row_ids)
+        return keep, row_off
+
+    def totals(self, g, S_rows, eff_rows, S, eff_all):
+        """Per-chip admitted-pair counts for group g: host (s,)."""
+        P = self.P
+
+        def build():
+            def body(g, S_rows, eff_rows, S, eff_all):
+                keep, _ = self._band_keep(g, S_rows, eff_rows, S, eff_all)
+                return jnp.sum(keep, dtype=jnp.int32).reshape(1)
+
+            return self._shmap(
+                body, (P(),) * 5, P(self.axis)
+            )
+
+        fn = self._cache.get("totals")
+        if fn is None:
+            fn = self._cache["totals"] = build()
+        return np.asarray(
+            fn(jnp.int32(g), S_rows, eff_rows, S, eff_all)
+        )
+
+    def _extracted(self, g, S_rows, eff_rows, S, eff_all, D32, cap):
+        keep, row_off = self._band_keep(g, S_rows, eff_rows, S, eff_all)
+        t = jnp.sum(keep, dtype=jnp.int32)
+        flat = jnp.flatnonzero(keep, size=cap, fill_value=0)
+        pos_ok = jnp.arange(cap, dtype=jnp.int32) < t
+        bi = row_off + (flat // self.nx).astype(jnp.int32)
+        bj = (flat % self.nx).astype(jnp.int32)
+        bi = jnp.where(pos_ok, bi, 0)
+        bj = jnp.where(pos_ok, bj, 0)
+        lb = _pairs_lb(D32, bi, bj)
+        return bi, bj, lb, pos_ok
+
+    def hist_update(self, g, S_rows, eff_rows, S, eff_all, D32,
+                    hist_part, cap: int, inv_bin, nbins: int):
+        """Fold group g's band lower bounds into the per-chip partial
+        histogram (sharded (s*nx, nbins); psum-combined once at the
+        end of pass 1)."""
+        P = self.P
+
+        def build():
+            def body(g, S_rows, eff_rows, S, eff_all, D32, hist):
+                bi, bj, lb, pos_ok = self._extracted(
+                    g, S_rows, eff_rows, S, eff_all, D32, cap
+                )
+                b = jnp.clip(
+                    (lb * inv_bin).astype(jnp.int32), 0, nbins - 1
+                )
+                w = pos_ok.astype(jnp.int32)
+                hist = hist.at[bi, b].add(w, mode="drop")
+                return hist.at[bj, b].add(w, mode="drop")
+
+            return self._shmap(
+                body,
+                (P(),) * 6 + (P(self.axis),),
+                P(self.axis),
+            )
+
+        fn = self._cache.get(("hist", cap))
+        if fn is None:
+            fn = self._cache[("hist", cap)] = build()
+        return fn(jnp.int32(g), S_rows, eff_rows, S, eff_all, D32,
+                  hist_part)
+
+    def combine_hist(self, hist_part):
+        P = self.P
+
+        def build():
+            def body(hist):
+                return jax.lax.psum(hist, self.axis)
+
+            return self._shmap(body, (P(self.axis),), P())
+
+        fn = self._cache.get("combine_hist")
+        if fn is None:
+            fn = self._cache["combine_hist"] = build()
+        return fn(hist_part)
+
+    def pass2(self, g, S_rows, eff_rows, S, eff_all, D32, thr,
+              pcnt_part, cap: int):
+        """Re-extract group g, keep pairs under either endpoint's lb
+        threshold, compact per chip.  Returns (ki, kj, kept,
+        pcnt_part): ki/kj global (s*cap,) with chip c's valid prefix at
+        [c*cap : c*cap + kept[c]]."""
+        P = self.P
+
+        def build():
+            def body(g, S_rows, eff_rows, S, eff_all, D32, thr, pcnt):
+                bi, bj, lb, pos_ok = self._extracted(
+                    g, S_rows, eff_rows, S, eff_all, D32, cap
+                )
+                keep = pos_ok & (
+                    lb <= jnp.maximum(jnp.take(thr, bi), jnp.take(thr, bj))
+                )
+                w = keep.astype(jnp.int32)
+                pcnt = pcnt.at[bi].add(w, mode="drop")
+                pcnt = pcnt.at[bj].add(w, mode="drop")
+                kept = jnp.sum(keep, dtype=jnp.int32)
+                ids = jnp.flatnonzero(keep, size=cap, fill_value=0)
+                return (
+                    jnp.take(bi, ids),
+                    jnp.take(bj, ids),
+                    kept.reshape(1),
+                    pcnt,
+                )
+
+            A = P(self.axis)
+            return self._shmap(
+                body,
+                (P(),) * 7 + (A,),
+                (A, A, A, A),
+            )
+
+        fn = self._cache.get(("pass2", cap))
+        if fn is None:
+            fn = self._cache[("pass2", cap)] = build()
+        return fn(jnp.int32(g), S_rows, eff_rows, S, eff_all, D32, thr,
+                  pcnt_part)
+
+    def combine_pcnt(self, pcnt_part):
+        P = self.P
+
+        def build():
+            def body(pcnt):
+                return jax.lax.psum(pcnt, self.axis)
+
+            return self._shmap(body, (P(self.axis),), P())
+
+        fn = self._cache.get("combine_pcnt")
+        if fn is None:
+            fn = self._cache["combine_pcnt"] = build()
+        return fn(pcnt_part)
+
+
+def _budgeted_bands_sharded(
+    mesh, D32, S, eff_j, per_point_cap: int, nblk: int, nx: int,
+    nbins: int, inv_bin, bin_w, verbose: bool,
+):
+    """Both budgeted-build passes distributed over the device mesh:
+    chip c of group g processes whole band ``g*s + c``.  Returns
+    (ij_i, ij_j, m, P_cnt) bit-identical to the single-chip band loop
+    (pinned by tests/test_sharded_fit.py)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from annchor_tpu.progress import progress
+
+    s = mesh.size
+    S = jnp.asarray(S)
+    na = int(S.shape[1])
+    sb = _ShardedBudgetedBuild.get(mesh, nblk, nx, na, nbins)
+    nbands = -(-nx // nblk)
+    ngroups = -(-nbands // s)
+    rows_pad = ngroups * s * nblk
+    repl = NamedSharding(mesh, PartitionSpec())
+    # padded rows carry global row ids >= nx, excluded by the
+    # col > row guard in the keep mask (same guard as the single-chip
+    # loop's padded tail rows)
+    S_rows = jax.device_put(
+        jnp.pad(S, ((0, rows_pad - nx), (0, 0))), repl
+    )
+    eff_rows = jax.device_put(
+        jnp.pad(eff_j, (0, rows_pad - nx),
+                constant_values=np.float32(np.inf)),
+        repl,
+    )
+    S_r = jax.device_put(S, repl)
+    eff_all = jax.device_put(eff_j, repl)
+    D32 = jax.device_put(D32, repl)
+
+    # ---- pass 1: per-chip partial lb histograms ----------------------
+    hist_part = jax.device_put(
+        jnp.zeros((s * nx, nbins), jnp.int32), sb.sh_part
+    )
+    group_caps = []
+    for g in progress(
+        range(ngroups), "pair-budget pass 1 (sharded)", verbose
+    ):
+        # the (s,) totals download doubles as the per-group barrier
+        # bounding in-flight band state (same role as the single-chip
+        # loop's per-band total)
+        tg = sb.totals(g, S_rows, eff_rows, S_r, eff_all)
+        tmax = int(tg.max())
+        if tmax == 0:
+            group_caps.append(None)
+            continue
+        cap = _cap_bucket(tmax)
+        group_caps.append(cap)
+        hist_part = sb.hist_update(
+            g, S_rows, eff_rows, S_r, eff_all, D32, hist_part,
+            cap, inv_bin, nbins,
+        )
+    hist = sb.combine_hist(hist_part)
+    del hist_part
+    thr = _hist_thresholds(hist, jnp.int32(per_point_cap), bin_w, nbins)
+    del hist
+    thr = jax.device_put(thr, repl)
+
+    # ---- pass 2: keep under-threshold pairs, band order preserved ----
+    pcnt_part = jax.device_put(
+        jnp.zeros(s * nx, jnp.int32), sb.sh_part
+    )
+    parts_i, parts_j = [], []
+    m = 0
+    for g in progress(
+        range(ngroups), "pair-budget pass 2 (sharded)", verbose
+    ):
+        cap = group_caps[g]
+        if cap is None:
+            continue
+        ki, kj, kept, pcnt_part = sb.pass2(
+            g, S_rows, eff_rows, S_r, eff_all, D32, thr, pcnt_part, cap
+        )
+        keptg = np.asarray(kept)
+        for c in range(s):
+            kc = int(keptg[c])
+            if kc == 0:
+                continue
+            parts_i.append(ki[c * cap : c * cap + kc])
+            parts_j.append(kj[c * cap : c * cap + kc])
+            m += kc
+    P_cnt = np.asarray(sb.combine_pcnt(pcnt_part)).astype(np.int32)
+    if parts_i:
+        ij_i = jnp.concatenate(parts_i)
+        ij_j = jnp.concatenate(parts_j)
+    else:
+        ij_i = jnp.zeros(0, jnp.int32)
+        ij_j = jnp.zeros(0, jnp.int32)
+    return ij_i, ij_j, m, P_cnt
+
+
 def candidate_pairs_device_budgeted(
     D,
     locality: int,
@@ -568,6 +872,23 @@ def candidate_pairs_device_budgeted(
     nblk = min(block, nx)
     while nblk * nx > (1 << 31) - 1 and nblk > 256:
         nblk //= 2
+
+    # multi-chip: distribute whole bands over the mesh (chip c of
+    # group g owns band g*s + c); bit-identical to the single-chip
+    # loop below (ANNCHOR_TPU_NO_SHARDED_BUILD opts out)
+    mesh = None
+    if not os.environ.get("ANNCHOR_TPU_NO_SHARDED_BUILD"):
+        from annchor_tpu import parallel
+
+        mesh = parallel.auto_mesh()
+    if mesh is not None and mesh.size > 1:
+        ij_i, ij_j, m, P_cnt = _budgeted_bands_sharded(
+            mesh, D32, S, eff_j, per_point_cap, nblk, nx, nbins,
+            inv_bin, bin_w, verbose,
+        )
+        return (
+            ij_i, ij_j, m, np.asarray(sid), np.asarray(S), eff, P_cnt,
+        )
 
     # ---- pass 1: band totals + lb histograms -------------------------
     blocks, totals = [], []

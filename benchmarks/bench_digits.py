@@ -64,7 +64,10 @@ def main(exact: bool = False):
         return ann, time.perf_counter() - t0
 
     _, warm_s = build()  # compile warm-up (numba JIT analogue)
-    runs = [build() for _ in range(2)]
+    # best-of-4: the fit is relay-trip bound and per-run dispatch
+    # latency swings ~2x between sessions; minimums are the stable
+    # figure (same rationale as bench.py's best-of-8)
+    runs = [build() for _ in range(4)]
     dt = min(r[1] for r in runs)
     errors = max(
         at.compare_neighbor_graphs(r[0].neighbor_graph, gt, k)

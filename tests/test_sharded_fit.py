@@ -113,3 +113,52 @@ def test_sharded_state_residency(_sharding_on, cpu_devices):
         bf.neighbor_graph, ann2.neighbor_graph, 10
     )
     assert err == 0
+
+
+def test_sharded_budgeted_build_matches_single_chip(_sharding_on):
+    """The budgeted two-pass pair build distributed over the mesh
+    (whole bands round-robin per chip, partial hist/P_cnt psum) is
+    bit-identical to the single-chip band loop: same pairs, same
+    order, same per-point counts."""
+    from annchor_tpu.ops.locality import candidate_pairs_device_budgeted
+
+    X = _blobs(600)
+    ann = at.Annchor(X, **BLOBS_KW)
+    ann.get_anchors()
+    D = ann.D
+
+    def build(sharded):
+        if sharded:
+            os.environ.pop("ANNCHOR_TPU_NO_SHARDED_BUILD", None)
+        else:
+            os.environ["ANNCHOR_TPU_NO_SHARDED_BUILD"] = "1"
+        try:
+            return candidate_pairs_device_budgeted(
+                D, locality=5, loc_thresh=2, loc_min=20,
+                per_point_cap=40, block=128,
+            )
+        finally:
+            os.environ.pop("ANNCHOR_TPU_NO_SHARDED_BUILD", None)
+
+    i1, j1, m1, sid1, S1, eff1, pc1 = build(False)
+    i2, j2, m2, sid2, S2, eff2, pc2 = build(True)
+    assert m1 == m2 and m1 > 0
+    assert np.array_equal(np.asarray(i1), np.asarray(i2))
+    assert np.array_equal(np.asarray(j1), np.asarray(j2))
+    assert np.array_equal(pc1, pc2)
+
+
+def test_sharded_budgeted_fit_matches_single_device(
+    _sharding_on, _force_sparse
+):
+    """Full fit through the sharded budgeted build (PAIR_CAP forces
+    the budgeted path at test scale) equals the single-device fit."""
+    os.environ["ANNCHOR_TPU_PAIR_CAP"] = "48"
+    try:
+        X = _blobs(500)
+        a1 = _fit(X, False, **BLOBS_KW)
+        a2 = _fit(X, True, **BLOBS_KW)
+    finally:
+        os.environ.pop("ANNCHOR_TPU_PAIR_CAP", None)
+    assert np.array_equal(a1.neighbor_graph[0], a2.neighbor_graph[0])
+    assert np.array_equal(a1.neighbor_graph[1], a2.neighbor_graph[1])
