@@ -48,6 +48,48 @@ def test_loaded_index_serves_queries(fitted, tmp_path, rng):
     assert (gi2[:, 0] == np.arange(20)).all()
 
 
+def test_loaded_index_refines(blobs, tmp_path):
+    """The persisted per-edge exactness (ng_exact) must survive the
+    round trip so refine_neighbor_graph on a LOADED index certifies
+    only genuinely-predicted edges and still recovers cap losses."""
+    import os
+
+    X, _ = blobs
+    X = X[:400]
+    os.environ["ANNCHOR_TPU_PAIR_CAP"] = "30"
+    try:
+        ann = at.Annchor(
+            X, "euclidean", n_anchors=10, n_neighbors=8,
+            n_samples=500, p_work=0.2, random_seed=7,
+        )
+        ann.fit()
+    finally:
+        os.environ.pop("ANNCHOR_TPU_PAIR_CAP", None)
+    p = str(tmp_path / "index.npz")
+    ann.save(p)
+    ann2 = at.Annchor.load(p, X, "euclidean")
+    np.testing.assert_array_equal(
+        getattr(ann, "_ng_exact"), getattr(ann2, "_ng_exact")
+    )
+
+    bf = at.BruteForce(X, "euclidean")
+    bf.fit()
+    err_before = at.compare_neighbor_graphs(
+        bf.neighbor_graph, ann2.neighbor_graph, 8
+    )
+    ev0 = ann2.evals
+    ann2.refine_neighbor_graph(rounds=2, budget=2000)
+    err_after = at.compare_neighbor_graphs(
+        bf.neighbor_graph, ann2.neighbor_graph, 8
+    )
+    assert ann2.evals - ev0 <= 2000
+    assert err_after <= err_before
+    # structurally sound rows after refining a loaded index
+    gi, gd = ann2.neighbor_graph
+    assert (gi[:, 0] == np.arange(len(X))).all()
+    assert (np.diff(gd, axis=1) >= 0).all()
+
+
 def test_save_before_fit_raises(blobs, tmp_path):
     X, _ = blobs
     ann = at.Annchor(X[:100], "euclidean", n_anchors=5, n_samples=100,
