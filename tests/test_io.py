@@ -48,23 +48,35 @@ def test_loaded_index_serves_queries(fitted, tmp_path, rng):
     assert (gi2[:, 0] == np.arange(20)).all()
 
 
-def test_loaded_index_refines(blobs, tmp_path):
+def test_loaded_index_refines(tmp_path):
     """The persisted per-edge exactness (ng_exact) must survive the
     round trip so refine_neighbor_graph on a LOADED index certifies
     only genuinely-predicted edges and still recovers cap losses."""
     import os
 
-    X, _ = blobs
-    X = X[:400]
-    os.environ["ANNCHOR_TPU_PAIR_CAP"] = "30"
+    from sklearn.datasets import make_blobs
+
+    # The cap is only honoured on the scale path (nx > 4096 or forced
+    # sparse), and predicted edges only survive assembly when the eval
+    # budget is well short of the tracked-pair count — hence the tight
+    # p_work / few anchors (measured: 68 inexact edges on this seed).
+    X, _ = make_blobs(
+        n_samples=800, centers=8, n_features=5, random_state=11
+    )
+    os.environ["ANNCHOR_TPU_PAIR_CAP"] = "120"
+    os.environ["ANNCHOR_TPU_FORCE_SPARSE"] = "1"
     try:
         ann = at.Annchor(
-            X, "euclidean", n_anchors=10, n_neighbors=8,
-            n_samples=500, p_work=0.2, random_seed=7,
+            X, "euclidean", n_anchors=5, n_neighbors=8,
+            n_samples=500, p_work=0.03, random_seed=7,
         )
         ann.fit()
     finally:
         os.environ.pop("ANNCHOR_TPU_PAIR_CAP", None)
+        os.environ.pop("ANNCHOR_TPU_FORCE_SPARSE", None)
+    # the capped sparse fit must leave some predicted (inexact) edges,
+    # or the refine assertions below are vacuous
+    assert (~getattr(ann, "_ng_exact")).any()
     p = str(tmp_path / "index.npz")
     ann.save(p)
     ann2 = at.Annchor.load(p, X, "euclidean")
