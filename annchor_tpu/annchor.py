@@ -920,13 +920,24 @@ class Annchor:
         )[valid]
         uniq = np.unique(key)
         IJ = np.stack([uniq // nx, uniq % nx], axis=1)
+        # dispatch the scout values for the same edges FIRST (async
+        # device work), run the serial host exact-EMD batch while the
+        # device computes, then download once — the margin calibration
+        # needs both, and this overlaps the two longest certify stages
+        scout_dev = None
+        scout = getattr(self.metric, "scout", None)
+        if scout is not None and hasattr(scout, "dispatch"):
+            scout_dev, _m = scout.dispatch(self.X, self.X, IJ)
         exact = np.asarray(
             self._exact_eval(self.f, self.X, IJ), dtype=np.float64
         )
         self.evals += exact.shape[0]
 
-        # scout values for the same edges calibrate the margin
-        scout_d = self._eval_pairs(IJ)
+        if scout_dev is not None:
+            scout_d = np.asarray(scout_dev, dtype=np.float64)[: IJ.shape[0]]
+            self.scout_evals += IJ.shape[0]
+        else:
+            scout_d = self._eval_pairs(IJ)
         lo = float(np.quantile(exact - scout_d, 0.001)) - 1e-3
 
         seen = uniq

@@ -190,30 +190,53 @@ class SinkhornExpEngine:
         ]
         return jnp.concatenate(outs)
 
-    def __call__(self, X, Z, IJ):
+    def dispatch(self, X, Z, IJ):
+        """Queue the whole batch as async device dispatches and return
+        the (padded) device result + the true length.  No host sync:
+        callers overlap host work (e.g. the exact-EMD certify pass)
+        with the device compute and download once via np.asarray.
+
+        Batch sizes are padded up to power-of-two buckets (>= 512,
+        <= chunk) so repeated odd-sized calls — every certify round has
+        a different candidate count — hit the compile cache instead of
+        paying a fresh XLA compile per shape."""
         IJ = np.asarray(IJ, dtype=np.int64)
-        if IJ.shape[0] == 0:
-            return np.zeros(0, dtype=np.float64)
+        m = IJ.shape[0]
+        if m == 0:
+            return None, 0
+        if m >= self.chunk:
+            pad = (-m) % self.chunk
+        else:
+            bucket = 512
+            while bucket < m:
+                bucket *= 2
+            pad = bucket - m
+        if pad:
+            IJ = np.concatenate([IJ, IJ[-1:].repeat(pad, 0)])
+        I = IJ[:, 0].astype(np.int32)
+        J = IJ[:, 1].astype(np.int32)
         Xd = self._table(X)
         Zd = Xd if Z is X else self._table(Z)
-        m = IJ.shape[0]
-        out = np.zeros(m, dtype=np.float64)
-        for s in range(0, m, self.chunk):
-            blk = IJ[s : s + self.chunk]
-            pad = 0
-            if blk.shape[0] < self.chunk and m > self.chunk:
-                pad = self.chunk - blk.shape[0]
-                blk = np.concatenate([blk, blk[-1:].repeat(pad, 0)])
-            d = np.asarray(
-                _sinkhorn_exp_chunk(
-                    Xd, Zd,
-                    jnp.asarray(blk[:, 0].astype(np.int32)),
-                    jnp.asarray(blk[:, 1].astype(np.int32)),
-                    self._Kd, self._KCd, self.n_iter,
-                )
+        outs = [
+            _sinkhorn_exp_chunk(
+                Xd, Zd,
+                jnp.asarray(I[s : s + self.chunk]),
+                jnp.asarray(J[s : s + self.chunk]),
+                self._Kd, self._KCd, self.n_iter,
             )
-            out[s : s + self.chunk - pad] = d[: d.shape[0] - pad]
-        return out
+            for s in range(0, IJ.shape[0], self.chunk)
+        ]
+        dev = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+        return dev, m
+
+    def __call__(self, X, Z, IJ):
+        dev, m = self.dispatch(X, Z, IJ)
+        if m == 0:
+            return np.zeros(0, dtype=np.float64)
+        # single blocking download for the whole batch (the per-chunk
+        # sync this replaces serialised compute behind the ~31 ms relay
+        # round trips)
+        return np.asarray(dev, dtype=np.float64)[:m]
 
 
 class SinkhornEngine:
