@@ -1,0 +1,274 @@
+"""Kernel-level efficiency evidence (VERDICT r2 next #3).
+
+Measures the hot device kernels in isolation so the perf story is
+quantified against the hardware, not just against the reference's
+2015-i5 wall clock:
+
+  --lev       Pallas Myers edit-distance kernel: GCUPS (DP cells/s),
+              the XLA bitplane tier for comparison, and an estimated
+              VPU int-op throughput from the kernel's op model.
+  --sinkhorn  Exp-domain Sinkhorn scout: achieved TFLOP/s, and the
+              same-shaped pure-matmul loop as a hardware-agnostic
+              ceiling (the scout is 2 (B,d)@(d,d) matvecs/iteration,
+              so the ratio to the pure loop isolates the non-matmul
+              overhead).
+  --maxmin    Fused greedy max-min anchor program on the Myers
+              encoding (the scale fits' anchor stage): seconds per
+              anchor column at nx=20k.
+  --fit-split Strings fit wall-time split: total vs the model-based
+              kernel share (metric cells / measured GCUPS), i.e. how
+              much of the fit is Levenshtein kernel time vs
+              host+relay+bookkeeping.
+
+Each section appends one JSON line to benchmarks/results/kernels.jsonl.
+
+Timing uses np.asarray(...) to force the transfer (block_until_ready
+does not reliably block under the axon relay).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESULTS = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "results", "kernels.jsonl"
+)
+
+
+def emit(rec):
+    line = json.dumps(rec)
+    print(line, flush=True)
+    with open(RESULTS, "a") as fh:
+        fh.write(line + "\n")
+
+
+def _best_of(fn, k=5):
+    ts = []
+    for _ in range(k):
+        t0 = time.time()
+        fn()
+        ts.append(time.time() - t0)
+    return min(ts)
+
+
+def bench_lev(args):
+    import jax
+
+    from annchor_tpu.datasets import make_strings
+    from annchor_tpu.ops.levenshtein_myers import MyersEncoding, myers_pairs
+    from annchor_tpu.ops import levenshtein as lev_ops
+
+    n, length, B = args.n, args.length, args.pairs
+    X, _ = make_strings(n=n, length=length, seed=7)
+    codes, lengths = lev_ops.encode_strings(list(X))
+    enc = MyersEncoding.from_codes(codes, lengths)
+    rng = np.random.default_rng(0)
+    I = rng.integers(n, size=B).astype(np.int64)
+    J = rng.integers(n, size=B).astype(np.int64)
+    la = np.minimum(enc.lengths[I], enc.lengths[J]).astype(np.int64)
+    lb = np.maximum(enc.lengths[I], enc.lengths[J]).astype(np.int64)
+    cells = float((la * lb).sum())
+
+    kind = jax.devices()[0].device_kind
+    on_tpu = jax.default_backend() not in ("cpu",)
+
+    tiers = {}
+    if on_tpu:
+        from annchor_tpu.ops.levenshtein_pallas import (
+            TILE, pallas_myers_pairs,
+        )
+
+        pallas_myers_pairs(enc, I[:TILE], J[:TILE])  # warm/compile
+        d_pl = pallas_myers_pairs(enc, I, J)
+        t_pl = _best_of(lambda: pallas_myers_pairs(enc, I, J), args.reps)
+        tiers["pallas"] = t_pl
+    myers_pairs(enc, I[:1024], J[:1024])  # warm/compile
+    d_xla = myers_pairs(enc, I, J)
+    t_xla = _best_of(lambda: myers_pairs(enc, I, J), args.reps)
+    tiers["xla"] = t_xla
+    if on_tpu:
+        np.testing.assert_array_equal(d_pl, d_xla)
+
+    # op-model throughput estimate: the kernel executes ~70 vector ops
+    # on (W, TILE) uint32 blocks per text char (Eq select ~17, carry
+    # scan ~26, deltas ~10, shifts ~8, taps/score ~9); each op touches
+    # W*TILE int32 lanes.  Useful cells per step = la (of lb steps).
+    W = enc.W
+    steps = float(lb.sum())
+    ops_per_char = 70.0
+    rec = {
+        "bench": "levenshtein_pairs",
+        "device": kind,
+        "n": n, "length": length, "pairs": B, "W_words": int(W),
+        "cells": cells,
+    }
+    for name, t in tiers.items():
+        rec[f"{name}_s"] = round(t, 4)
+        rec[f"{name}_gcups"] = round(cells / t / 1e9, 2)
+    if "pallas" in tiers:
+        # each (W, T) vector op touches W int32 elements per pair, so a
+        # pair's lb text chars cost ~70 * W * lb element-ops; the sum
+        # over the batch / wall time is the achieved int32 throughput
+        lane_ops = steps * ops_per_char * W
+        rec["pallas_int_tops"] = round(lane_ops / tiers["pallas"] / 1e12, 3)
+        rec["pallas_vs_xla"] = round(t_xla / tiers["pallas"], 2)
+    emit(rec)
+    return rec
+
+
+def bench_sinkhorn(args):
+    import jax
+    import jax.numpy as jnp
+
+    from annchor_tpu.ops.wasserstein import SinkhornExpEngine
+
+    d = 64
+    B = args.pairs
+    n_iter = 300
+    rng = np.random.default_rng(1)
+    M = np.abs(np.arange(d)[:, None] - np.arange(d)[None, :]).astype(float)
+    X = rng.gamma(1.0, size=(args.n, d)).astype(np.float64)
+    eng = SinkhornExpEngine(M, n_iter=n_iter, chunk=min(8192, B))
+    IJ = rng.integers(args.n, size=(B, 2))
+    eng(X, X, IJ[:128])  # warm/compile
+    _ = eng(X, X, IJ)
+    t = _best_of(lambda: eng(X, X, IJ), args.reps)
+    flops = B * (n_iter * 4.0 * d * d + 2.0 * d * d)
+    tflops = flops / t / 1e12
+
+    # ceiling proxy: the same shapes as a pure-matmul fori_loop
+    Kd = jnp.asarray(np.exp(-M / M.max() / 0.015).astype(np.float32))
+
+    @jax.jit
+    def pure(V):
+        def body(_, v):
+            return v @ Kd
+        return jax.lax.fori_loop(0, 2 * n_iter, body, V)
+
+    V0 = jnp.asarray(rng.random((min(8192, B), d)).astype(np.float32))
+    np.asarray(pure(V0))  # warm
+    nchunk = max(1, B // min(8192, B))
+    t_pure = _best_of(lambda: [np.asarray(pure(V0)) for _ in range(nchunk)],
+                      args.reps)
+    pure_tflops = B * n_iter * 4.0 * d * d / t_pure / 1e12
+    emit({
+        "bench": "sinkhorn_scout",
+        "device": jax.devices()[0].device_kind,
+        "pairs": B, "d": d, "n_iter": n_iter,
+        "s": round(t, 4), "tflops": round(tflops, 3),
+        "pure_matmul_tflops": round(pure_tflops, 3),
+        "fraction_of_matmul_ceiling": round(tflops / pure_tflops, 3),
+    })
+
+
+def bench_maxmin(args):
+    import jax
+
+    from annchor_tpu.datasets import make_strings
+    from annchor_tpu.ops import levenshtein as lev_ops
+    from annchor_tpu.ops.levenshtein_myers import (
+        MyersEncoding, myers_maxmin,
+    )
+
+    n = args.n
+    X, _ = make_strings(n=n, length=args.length, seed=7)
+    codes, lengths = lev_ops.encode_strings(list(X))
+    enc = MyersEncoding.from_codes(codes, lengths)
+    na = 16
+    myers_maxmin(enc, na=4, first_ix=0)  # warm/compile (smaller na)
+    t = _best_of(lambda: myers_maxmin(enc, na=na, first_ix=0), args.reps)
+    # each anchor column is n one-vs-all Myers evals of length*length
+    cells = na * float(n) * args.length * args.length
+    emit({
+        "bench": "myers_fused_maxmin",
+        "device": jax.devices()[0].device_kind,
+        "n": n, "length": args.length, "na": na,
+        "s": round(t, 4), "s_per_anchor": round(t / na, 4),
+        "gcups": round(cells / t / 1e9, 2),
+    })
+
+
+def bench_fit_split(args):
+    """Strings fit: total wall vs the model-based Levenshtein-kernel
+    share.  Kernel share = DP cells evaluated / the GCUPS measured by
+    --lev (run it first in the same session so the number is fresh)."""
+    import io
+    from contextlib import redirect_stdout
+
+    import jax
+
+    import annchor_tpu as at
+    from annchor_tpu.datasets import make_strings
+
+    n = args.n
+    X, _ = make_strings(n=n, length=args.length, seed=7)
+    ann = at.Annchor(
+        list(X), "levenshtein", n_anchors=48, n_neighbors=15,
+        p_work=0.02, niters=4, random_seed=42, verbose=True,
+        loc_thresh=3, locality=5,
+    )
+    buf = io.StringIO()
+    t0 = time.time()
+    with redirect_stdout(buf):
+        ann.fit()
+    wall = time.time() - t0
+    stage_table = buf.getvalue()
+    print(stage_table)
+    total_evals = ann.evals + getattr(ann, "scout_evals", 0)
+    cells = total_evals * float(args.length) ** 2
+
+    # read the freshest pallas GCUPS from the results file, if any
+    gcups = None
+    try:
+        for line in open(RESULTS):
+            rec = json.loads(line)
+            if rec.get("bench") == "levenshtein_pairs" and \
+                    "pallas_gcups" in rec:
+                gcups = rec["pallas_gcups"]
+    except FileNotFoundError:
+        pass
+    kernel_s = cells / (gcups * 1e9) if gcups else None
+    emit({
+        "bench": "fit_split",
+        "device": jax.devices()[0].device_kind,
+        "n": n, "length": args.length, "evals": int(total_evals),
+        "wall_s": round(wall, 2),
+        "dp_cells": cells,
+        "kernel_model_s": round(kernel_s, 2) if kernel_s else None,
+        "kernel_share": round(kernel_s / wall, 3) if kernel_s else None,
+        "stage_table": stage_table.strip().splitlines()[-12:],
+    })
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lev", action="store_true")
+    ap.add_argument("--sinkhorn", action="store_true")
+    ap.add_argument("--maxmin", action="store_true")
+    ap.add_argument("--fit-split", action="store_true")
+    ap.add_argument("--all", action="store_true")
+    ap.add_argument("--n", type=int, default=20000)
+    ap.add_argument("--length", type=int, default=400)
+    ap.add_argument("--pairs", type=int, default=65536)
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+    if args.all:
+        args.lev = args.sinkhorn = args.maxmin = args.fit_split = True
+    if args.lev:
+        bench_lev(args)
+    if args.sinkhorn:
+        bench_sinkhorn(args)
+    if args.maxmin:
+        bench_maxmin(args)
+    if args.fit_split:
+        bench_fit_split(args)
+
+
+if __name__ == "__main__":
+    main()
