@@ -625,6 +625,240 @@ def _knn(RA, ncm, P_idx, ij_i, ij_j, nn: int):
     return jax.lax.fori_loop(0, nblk, body, (ids0, part0, ra0))
 
 
+# ---------------------------------------------------------------------------
+# device-resident extras: nearest-enemy graph + selective subset
+# (reference annchor.py:685-940) — the per-point passes mirror _select
+# / _knn but restrict to differently-labelled partners, so the extras
+# run on the live fit state instead of forcing the O(m) host download
+
+
+@jax.jit
+def _member_lex(si, sj, qi, qj):
+    """Membership of query pairs in a lexicographically sorted pair
+    list, via an explicit vectorised binary search (int64 packed keys
+    would need x64; (i, j) comparison needs none)."""
+    m = si.shape[0]
+    lo = jnp.zeros_like(qi)
+    hi = jnp.full_like(qi, m)
+
+    def body(_, lh):
+        lo, hi = lh
+        mid = (lo + hi) // 2
+        c = jnp.clip(mid, 0, m - 1)
+        mi = jnp.take(si, c)
+        mj = jnp.take(sj, c)
+        less = (mi < qi) | ((mi == qi) & (mj < qj))
+        return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
+
+    # 35 halvings cover m < 2^35
+    lo, hi = jax.lax.fori_loop(0, 35, body, (lo, hi))
+    c = jnp.clip(lo, 0, m - 1)
+    return (lo < m) & (jnp.take(si, c) == qi) & (jnp.take(sj, c) == qj)
+
+
+@jax.jit
+def _lexsort_pairs(ij_i, ij_j):
+    perm = jnp.lexsort((ij_j, ij_i))
+    return jnp.take(ij_i, perm), jnp.take(ij_j, perm)
+
+
+@jax.jit
+def _predict_pairs(lb, ub, dad, inner_edges, coefs, icepts):
+    """Regression predict for appended pairs, clipped to bounds —
+    device twin of the host predict in enemies.get_nearest_enemies
+    (K-way select like _regress_update; bin convention (lo, hi])."""
+    labels = jnp.searchsorted(inner_edges, dad, side="left")
+    K = coefs.shape[0]
+    pred = jnp.zeros_like(dad)
+    for b in range(K):
+        pred_b = (
+            lb * coefs[b, 0]
+            + ub * coefs[b, 1]
+            + dad * coefs[b, 2]
+            + icepts[b]
+        )
+        pred = jnp.where(labels == b, pred_b, pred)
+    return jnp.clip(pred, lb, ub)
+
+
+def _enemy_refine_body(RA_pad, ncm_ext, rows, pair_sum_ext, y, row0,
+                       m: int, kk: int):
+    """One row block of the enemy refine selection: the kk
+    smallest-estimate differently-labelled candidates per point,
+    returned as pair ids (sentinel m where not chosen / computed)."""
+    blk = rows.shape[0]
+    nx = y.shape[0]
+    vals = jnp.take(RA_pad, rows, axis=0)
+    valid = rows < m
+    others = jnp.take(pair_sum_ext, rows) - (
+        row0 + jnp.arange(blk, dtype=jnp.int32)
+    )[:, None]
+    yo = jnp.take(y, jnp.clip(others, 0, nx - 1))
+    yrow = jnp.take(
+        y, jnp.clip(row0 + jnp.arange(blk, dtype=jnp.int32), 0, nx - 1)
+    )
+    emask = valid & (yo != yrow[:, None])
+    dmat = jnp.where(emask, vals, F32_INF)
+    _, cols = jax.lax.top_k(-dmat, kk)
+    ids_sel = jnp.take_along_axis(rows, cols, axis=1)
+    sel_ok = (
+        jnp.take_along_axis(emask, cols, axis=1)
+        & jnp.take(ncm_ext, ids_sel)
+    )
+    return jnp.where(sel_ok, ids_sel, m)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _enemy_refine_select(RA, ncm, P_idx, ij_i, ij_j, y, k: int):
+    """Per point: its k closest *predicted* enemies among the tracked
+    pairs that are still uncomputed (reference annchor.py:753-769).
+    Row-blocked like _select/_knn."""
+    m = RA.shape[0]
+    nx, max_deg = P_idx.shape
+    RA_pad = jnp.concatenate([RA, jnp.array([F32_INF])])
+    ncm_ext = jnp.concatenate([ncm, jnp.array([False])])
+    pair_sum_ext = jnp.concatenate(
+        [(ij_i + ij_j).astype(jnp.int32), jnp.zeros(1, jnp.int32)]
+    )
+    kk = min(k, max_deg)
+    blk = _row_block(nx, max_deg)
+    nblk = (nx + blk - 1) // blk
+
+    def body(t, acc):
+        start = jnp.minimum(t * blk, nx - blk)
+        rows = jax.lax.dynamic_slice(P_idx, (start, 0), (blk, max_deg))
+        ids_sel = _enemy_refine_body(
+            RA_pad, ncm_ext, rows, pair_sum_ext, y, start, m, kk
+        )
+        return jax.lax.dynamic_update_slice(acc, ids_sel, (start, 0))
+
+    acc0 = jnp.full((nx, kk), m, dtype=P_idx.dtype)
+    return jax.lax.fori_loop(0, nblk, body, acc0)
+
+
+def _enemy_knn_body(RA_pad, ncm_ext, rows, pair_sum_ext, y, row0,
+                    m: int, nn: int):
+    """One row block of enemy-graph assembly: uncomputed AND
+    same-label candidates carry a +rowmax penalty (reference
+    annchor.py:771-787)."""
+    blk = rows.shape[0]
+    nx = y.shape[0]
+    vals = jnp.take(RA_pad, rows, axis=0)
+    ncm_rows = jnp.take(ncm_ext, rows)
+    valid = rows < m
+    others = jnp.take(pair_sum_ext, rows) - (
+        row0 + jnp.arange(blk, dtype=jnp.int32)
+    )[:, None]
+    yo = jnp.take(y, jnp.clip(others, 0, nx - 1))
+    yrow = jnp.take(
+        y, jnp.clip(row0 + jnp.arange(blk, dtype=jnp.int32), 0, nx - 1)
+    )
+    same = yo == yrow[:, None]
+    mx = jnp.max(jnp.where(valid, vals, -F32_INF), axis=1, keepdims=True)
+    mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+    dpen = jnp.where(
+        valid,
+        vals
+        + jnp.where(valid & ncm_rows, mx, 0.0)
+        + jnp.where(valid & same, mx, 0.0),
+        F32_INF,
+    )
+    _, cols = jax.lax.top_k(-dpen, nn)
+    ra_sel = jnp.take_along_axis(
+        jnp.where(valid, vals, F32_INF), cols, axis=1
+    )
+    pair_ids = jnp.take_along_axis(rows, cols, axis=1)
+    partners = jnp.take_along_axis(others, cols, axis=1)
+    # the host reference leaves `others` 0 where invalid
+    partners = jnp.where(pair_ids < m, partners, 0)
+    return pair_ids, partners, ra_sel
+
+
+@functools.partial(jax.jit, static_argnames=("nn",))
+def _enemy_knn(RA, ncm, P_idx, ij_i, ij_j, y, nn: int):
+    m = RA.shape[0]
+    nx, max_deg = P_idx.shape
+    RA_pad = jnp.concatenate([RA, jnp.array([F32_INF])])
+    ncm_ext = jnp.concatenate([ncm, jnp.array([True])])
+    pair_sum_ext = jnp.concatenate(
+        [(ij_i + ij_j).astype(jnp.int32), jnp.zeros(1, jnp.int32)]
+    )
+    blk = _row_block(nx, max_deg)
+    nblk = (nx + blk - 1) // blk
+
+    def body(t, acc):
+        ids_acc, part_acc, ra_acc = acc
+        start = jnp.minimum(t * blk, nx - blk)
+        rows = jax.lax.dynamic_slice(P_idx, (start, 0), (blk, max_deg))
+        pair_ids, partners, ra_sel = _enemy_knn_body(
+            RA_pad, ncm_ext, rows, pair_sum_ext, y, start, m, nn
+        )
+        ids_acc = jax.lax.dynamic_update_slice(
+            ids_acc, pair_ids, (start, 0)
+        )
+        part_acc = jax.lax.dynamic_update_slice(
+            part_acc, partners, (start, 0)
+        )
+        ra_acc = jax.lax.dynamic_update_slice(ra_acc, ra_sel, (start, 0))
+        return ids_acc, part_acc, ra_acc
+
+    ids0 = jnp.zeros((nx, nn), dtype=P_idx.dtype)
+    part0 = jnp.zeros((nx, nn), dtype=jnp.int32)
+    ra0 = jnp.zeros((nx, nn), dtype=jnp.float32)
+    return jax.lax.fori_loop(0, nblk, body, (ids0, part0, ra0))
+
+
+def _cover_incidence_body(dists_pad, rows, pair_sum_ext, slot, radii,
+                          row0, m: int, S: int):
+    """One row block of subset-cover incidence: inc[b, s] = 1 iff
+    subset member s (slot order) lies strictly inside point b's
+    enemy radius among its tracked candidates."""
+    blk = rows.shape[0]
+    nx = slot.shape[0]
+    d = jnp.take(dists_pad, rows)
+    valid = rows < m
+    others = jnp.take(pair_sum_ext, rows) - (
+        row0 + jnp.arange(blk, dtype=jnp.int32)
+    )[:, None]
+    sl = jnp.take(slot, jnp.clip(others, 0, nx - 1))
+    rr = jnp.take(
+        radii, jnp.clip(row0 + jnp.arange(blk, dtype=jnp.int32), 0, nx - 1)
+    )
+    live = valid & (sl >= 0) & (d < rr[:, None] - 1e-6)
+    col = jnp.where(live, sl, S)
+    flat = (
+        jnp.arange(blk, dtype=jnp.int32)[:, None] * (S + 1) + col
+    ).reshape(-1)
+    inc = jnp.zeros(blk * (S + 1), dtype=jnp.int32)
+    inc = inc.at[flat].max(live.reshape(-1).astype(jnp.int32))
+    return inc.reshape(blk, S + 1)[:, :S]
+
+
+@functools.partial(jax.jit, static_argnames=("S",))
+def _cover_incidence(RA, ncm, ub, P_idx, ij_i, ij_j, slot, radii, S: int):
+    m = RA.shape[0]
+    nx, max_deg = P_idx.shape
+    dists_pad = jnp.concatenate(
+        [jnp.where(ncm, ub, RA), jnp.array([F32_INF])]
+    )
+    pair_sum_ext = jnp.concatenate(
+        [(ij_i + ij_j).astype(jnp.int32), jnp.zeros(1, jnp.int32)]
+    )
+    blk = _row_block(nx, max_deg)
+    nblk = (nx + blk - 1) // blk
+
+    def body(t, acc):
+        start = jnp.minimum(t * blk, nx - blk)
+        rows = jax.lax.dynamic_slice(P_idx, (start, 0), (blk, max_deg))
+        inc = _cover_incidence_body(
+            dists_pad, rows, pair_sum_ext, slot, radii, start, m, S
+        )
+        return jax.lax.dynamic_update_slice(acc, inc, (start, 0))
+
+    acc0 = jnp.zeros((nx, S), dtype=jnp.int32)
+    return jax.lax.fori_loop(0, nblk, body, acc0)
+
+
 @jax.jit
 def _gather_rows(lb, ub, dad, ids):
     return (
@@ -1347,6 +1581,222 @@ class DeviceFitState:
         self.ng_exact_mask = is_exact
         ngd = np.where(is_exact, exact, ra_sel)
         return ngi, ngd
+
+    # -- device-resident extras (nearest enemies / selective subset) --------
+
+    def tracked_mask(self, IJ):
+        """Host bool mask: which query pairs (i < j) are already in
+        the tracked pair list.  Lex-sorted device binary search — the
+        O(m) pair list never crosses the link."""
+        IJ = np.asarray(IJ)
+        if IJ.shape[0] == 0:
+            return np.zeros(0, dtype=bool)
+        si, sj = _lexsort_pairs(self.ij_i, self.ij_j)
+        qi = jnp.asarray(IJ[:, 0].astype(np.int32))
+        qj = jnp.asarray(IJ[:, 1].astype(np.int32))
+        return np.asarray(_member_lex(si, sj, qi, qj))
+
+    def _rebuild_pidx(self):
+        """Re-run the incidence-matrix build after an append (same
+        branch logic as __init__)."""
+        import os
+
+        ann = self.ann
+        nx = ann.nx
+        if self.shard is not None and self.m_pad > self.m:
+            gid = jnp.arange(self.m_pad, dtype=jnp.int32)
+            bij_i = jnp.where(gid < self.m, self.ij_i, nx)
+            bij_j = jnp.where(gid < self.m, self.ij_j, nx)
+        else:
+            bij_i, bij_j = self.ij_i, self.ij_j
+        max_deg = int(np.asarray(ann.P_cnt).max())
+        budget = int(
+            os.environ.get("ANNCHOR_TPU_PIDX_BUDGET", PIDX_BUDGET_ELEMS)
+        )
+        cap = max(2 * ann.n_neighbors, budget // max(nx, 1))
+        deg = cap if max_deg > cap else max_deg
+        if self.shard is not None:
+            self.P_idx_d = self.shard.build_pidx(
+                bij_i, bij_j, self.lb, nx, deg, max_deg > cap
+            )
+        elif max_deg > cap:
+            self.P_idx_d = _pidx_from_pairs_capped(
+                bij_i, bij_j, self.lb, nx, cap
+            )
+        else:
+            self.P_idx_d = _pidx_from_pairs(bij_i, bij_j, nx, max_deg)
+
+    def append_pairs(self, IJ_new, regression):
+        """Append new candidate pairs (the nearest-enemy path's fresh
+        enemy candidates) to the device state: features + regression
+        predictions computed on device, anchor-touching pairs exact
+        from the D columns, incidence matrix rebuilt.  Mirrors the
+        host path in enemies.get_nearest_enemies / reference
+        annchor.py:734-742 without materialising the O(m) state."""
+        self._flush_exacts()
+        ann = self.ann
+        nx = ann.nx
+        k = IJ_new.shape[0]
+        if k == 0:
+            return
+        m_old = self.m
+        ii = jnp.asarray(IJ_new[:, 0].astype(np.int32))
+        jj = jnp.asarray(IJ_new[:, 1].astype(np.int32))
+        D32 = jnp.asarray(np.asarray(ann.D, dtype=np.float32))
+        fchunk = max(1 << 18, (1 << 27) // max(D32.shape[1], 1))
+        lb2, ub2, dad2 = _features_init(D32, ii, jj, chunk=fchunk)
+        pred = _predict_pairs(
+            lb2, ub2, dad2,
+            jnp.asarray(regression.sample_bins[1:-1].astype(np.float32)),
+            jnp.asarray(regression.coefs.astype(np.float32)),
+            jnp.asarray(regression.intercepts.astype(np.float32)),
+        )
+
+        # anchor-touching new pairs are exact from the D columns
+        if len(ann.A):
+            anchor_set = np.zeros(nx, dtype=bool)
+            anchor_set[np.asarray(ann.A, dtype=int)] = True
+            is_anchor = (
+                anchor_set[IJ_new[:, 0]] | anchor_set[IJ_new[:, 1]]
+            )
+        else:
+            is_anchor = np.zeros(k, dtype=bool)
+        ncm_new = ~is_anchor
+
+        def real(a):
+            return a[: m_old] if a.shape[0] > m_old else a
+
+        cat_ij_i = jnp.concatenate([real(self.ij_i), ii])
+        cat_ij_j = jnp.concatenate([real(self.ij_j), jj])
+        cat_lb = jnp.concatenate([real(self.lb), lb2])
+        cat_ub = jnp.concatenate([real(self.ub), ub2])
+        cat_dad = jnp.concatenate([real(self.dad), dad2])
+        cat_RA = jnp.concatenate([real(self.RA), pred])
+        cat_ncm = jnp.concatenate([real(self.ncm), jnp.asarray(ncm_new)])
+        self.m = m_old + k
+        if self.shard is not None:
+            from annchor_tpu.ops.sharded_fit import ShardedFit
+
+            s = self.shard.mesh.size
+            m_pad = -(-self.m // s) * s
+            self.shard = ShardedFit(
+                self.shard.mesh, self.m, m_pad, nx, self.shard.nx_pad
+            )
+            self.ij_i = self.shard.put_pairs(cat_ij_i, fill=0)
+            self.ij_j = self.shard.put_pairs(cat_ij_j, fill=0)
+            self.lb = self.shard.put_pairs(cat_lb, fill=0)
+            self.ub = self.shard.put_pairs(cat_ub, fill=F32_INF)
+            self.dad = self.shard.put_pairs(cat_dad, fill=0)
+            self.RA = self.shard.put_pairs(cat_RA, fill=F32_INF)
+            self.ncm = self.shard.put_pairs(cat_ncm, fill=False)
+        else:
+            self.ij_i, self.ij_j = cat_ij_i, cat_ij_j
+            self.lb, self.ub, self.dad = cat_lb, cat_ub, cat_dad
+            self.RA, self.ncm = cat_RA, cat_ncm
+        self.m_pad = self.m if self.shard is None else self.shard.m_pad
+
+        # bookkeeping: sampling pool, exact values, host mirrors
+        self.pool += int(ncm_new.sum())
+        anchor_ids = m_old + np.flatnonzero(is_anchor).astype(np.int64)
+        if not self.sparse:
+            self.anchor_flag = np.concatenate(
+                [self.anchor_flag, is_anchor]
+            )
+            self.ncm_host = np.concatenate([self.ncm_host, ncm_new])
+            self.exact64 = np.concatenate(
+                [self.exact64, np.full(k, np.nan)]
+            )
+        if self._anchor_ids is not None or anchor_ids.size:
+            prev = (
+                self._anchor_ids
+                if self._anchor_ids is not None
+                else np.zeros(0, dtype=np.int64)
+            )
+            self._anchor_ids = np.concatenate([prev, anchor_ids])
+        if anchor_ids.size:
+            self._fill_anchor_exacts(anchor_ids)
+            if not self.sparse:
+                self.ncm_host[anchor_ids] = False
+
+        # incidence matrix: degrees changed, rebuild on device
+        ann.P_cnt = (
+            np.asarray(ann.P_cnt, dtype=np.int64)
+            + np.bincount(IJ_new[:, 0], minlength=nx)
+            + np.bincount(IJ_new[:, 1], minlength=nx)
+        ).astype(np.int32)
+        self._rebuild_pidx()
+
+    def enemy_refine_ids(self, y_codes, k=50):
+        """Pair ids of each point's k closest predicted enemies that
+        are still uncomputed (deduplicated, host int64)."""
+        self._flush_exacts()
+        y = jnp.asarray(np.asarray(y_codes, dtype=np.int32))
+        if self.shard is not None:
+            pair_sum = (self.ij_i + self.ij_j).astype(jnp.int32)
+            ids = self.shard.enemy_refine(
+                self.RA, self.ncm, self.P_idx_d, pair_sum, y, k
+            )
+        else:
+            ids = _enemy_refine_select(
+                self.RA, self.ncm, self.P_idx_d,
+                self.ij_i, self.ij_j, y, k,
+            )
+        ids = np.asarray(ids, dtype=np.int64).reshape(-1)
+        return np.unique(ids[ids < self.m])
+
+    def enemy_knn_graph(self, y_codes, nn):
+        """Assemble the nearest-enemy graph on device (device twin of
+        the row-blocked host assembly in enemies.get_nearest_enemies).
+        Exact distances come from the float64 store like knn_graph."""
+        self._flush_exacts()
+        nn = min(int(nn), int(self.P_idx_d.shape[1]))
+        y = jnp.asarray(np.asarray(y_codes, dtype=np.int32))
+        if self.shard is not None:
+            pair_sum = (self.ij_i + self.ij_j).astype(jnp.int32)
+            pair_ids, partners, ra_sel = self.shard.enemy_knn(
+                self.RA, self.ncm, self.P_idx_d, pair_sum, y, nn
+            )
+        else:
+            pair_ids, partners, ra_sel = _enemy_knn(
+                self.RA, self.ncm, self.P_idx_d,
+                self.ij_i, self.ij_j, y, nn,
+            )
+        pair_ids, partners, ra_sel = jax.device_get(
+            (pair_ids, partners, ra_sel)
+        )
+        pair_ids = np.asarray(pair_ids, dtype=np.int64)
+        ngi = np.asarray(partners, dtype=np.int64)
+        ra_sel = np.asarray(ra_sel, dtype=np.float64)
+        clipped = np.clip(pair_ids, 0, self.m - 1)
+        exact = (
+            self.exact.lookup(clipped)
+            if self.sparse
+            else self.exact64[clipped]
+        )
+        is_exact = (pair_ids < self.m) & ~np.isnan(exact)
+        ngd = np.where(is_exact, exact, ra_sel)
+        return ngi, ngd
+
+    def cover_incidence(self, slot, radii):
+        """(nx, S) 0/1 incidence of subset members strictly inside
+        each point's enemy radius among its tracked candidates (the
+        selective-subset prune's working set; S = subset size)."""
+        self._flush_exacts()
+        S = int(np.asarray(slot).max()) + 1
+        slot_d = jnp.asarray(np.asarray(slot, dtype=np.int32))
+        radii_d = jnp.asarray(np.asarray(radii, dtype=np.float32))
+        if self.shard is not None:
+            dists = jnp.where(self.ncm, self.ub, self.RA)
+            pair_sum = (self.ij_i + self.ij_j).astype(jnp.int32)
+            inc = self.shard.cover_incidence(
+                dists, self.P_idx_d, pair_sum, slot_d, radii_d, S
+            )
+        else:
+            inc = _cover_incidence(
+                self.RA, self.ncm, self.ub, self.P_idx_d,
+                self.ij_i, self.ij_j, slot_d, radii_d, S,
+            )
+        return np.asarray(inc, dtype=np.int64)
 
     # -- host materialisation (plug-in / persistence surface) ---------------
 

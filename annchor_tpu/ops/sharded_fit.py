@@ -523,6 +523,107 @@ class ShardedFit:
         ids, partners, ra = fn(RA, ncm, P_idx, pair_sum)
         return ids[:nx], partners[:nx], ra[:nx]
 
+    def enemy_refine(self, RA, ncm, P_idx, pair_sum, y, k: int):
+        """Sharded twin of device_pipeline._enemy_refine_select: each
+        chip selects the enemy refine candidates for the rows it
+        owns."""
+        P = self.P
+        rows_shard = self.shard_rows
+        m_real = self.m_real
+        nx = self.nx
+
+        def build():
+            def body(RA_full, ncm_full, rows_blk, pair_sum, y):
+                from annchor_tpu.ops.device_pipeline import (
+                    _enemy_refine_body,
+                )
+
+                row0 = _shard_bounds(PAIR_AXIS, rows_shard)
+                RA_pad = jnp.concatenate([RA_full, jnp.array([F32_INF])])
+                ncm_ext = jnp.concatenate([ncm_full, jnp.array([False])])
+                ps_ext = jnp.concatenate(
+                    [pair_sum, jnp.zeros(1, pair_sum.dtype)]
+                )
+                return _enemy_refine_body(
+                    RA_pad, ncm_ext, rows_blk, ps_ext, y, row0, m_real, k
+                )
+
+            specs_p = P(PAIR_AXIS)
+            return self._shmap(
+                body, (P(), P(), specs_p, P(), P()), specs_p
+            )
+
+        fn = self._get(("enemy_refine", k), build)
+        return fn(RA, ncm, P_idx, pair_sum, y)[:nx]
+
+    def enemy_knn(self, RA, ncm, P_idx, pair_sum, y, nn: int):
+        """Sharded twin of device_pipeline._enemy_knn."""
+        P = self.P
+        rows_shard = self.shard_rows
+        m_real = self.m_real
+        nx = self.nx
+
+        def build():
+            def body(RA_full, ncm_full, rows_blk, pair_sum, y):
+                from annchor_tpu.ops.device_pipeline import (
+                    _enemy_knn_body,
+                )
+
+                row0 = _shard_bounds(PAIR_AXIS, rows_shard)
+                RA_pad = jnp.concatenate([RA_full, jnp.array([F32_INF])])
+                ncm_ext = jnp.concatenate([ncm_full, jnp.array([True])])
+                ps_ext = jnp.concatenate(
+                    [pair_sum, jnp.zeros(1, pair_sum.dtype)]
+                )
+                return _enemy_knn_body(
+                    RA_pad, ncm_ext, rows_blk, ps_ext, y, row0, m_real, nn
+                )
+
+            specs_p = P(PAIR_AXIS)
+            return self._shmap(
+                body,
+                (P(), P(), specs_p, P(), P()),
+                (specs_p, specs_p, specs_p),
+            )
+
+        fn = self._get(("enemy_knn", nn), build)
+        ids, partners, ra = fn(RA, ncm, P_idx, pair_sum, y)
+        return ids[:nx], partners[:nx], ra[:nx]
+
+    def cover_incidence(self, dists, P_idx, pair_sum, slot, radii,
+                        S: int):
+        """Sharded twin of device_pipeline._cover_incidence (dists =
+        where(ncm, ub, RA), computed by the caller)."""
+        P = self.P
+        rows_shard = self.shard_rows
+        m_real = self.m_real
+        nx = self.nx
+
+        def build():
+            def body(dists_full, rows_blk, pair_sum, slot, radii):
+                from annchor_tpu.ops.device_pipeline import (
+                    _cover_incidence_body,
+                )
+
+                row0 = _shard_bounds(PAIR_AXIS, rows_shard)
+                d_pad = jnp.concatenate(
+                    [dists_full, jnp.array([F32_INF])]
+                )
+                ps_ext = jnp.concatenate(
+                    [pair_sum, jnp.zeros(1, pair_sum.dtype)]
+                )
+                return _cover_incidence_body(
+                    d_pad, rows_blk, ps_ext, slot, radii, row0, m_real, S
+                )
+
+            specs_p = P(PAIR_AXIS)
+            return self._shmap(
+                body, (P(), specs_p, P(), P(), P()), specs_p
+            )
+
+        fn = self._get(("cover_inc", S), build)
+        return fn(dists, P_idx, pair_sum, slot, radii)[:nx]
+
     def tighten_full(self, ij_i, ij_j, RA, ncm, lb, ub, nx: int,
                      block: int = 16):
         """Sharded tropical self-product: each chip scatters its

