@@ -337,20 +337,60 @@ def legacy_query_(ann, Z, get_exact_query_ijs=None, k=5, alpha=1.4, beta=1.4):
     )
 
     nz = len(Z)
+    nx = ann.nx
+
+    # pad the ragged per-query profiles (visited anchors + distances)
+    # to a rectangle so the profile match vectorises across queries
+    lens = np.array([len(As[i]) for i in range(nz)], dtype=np.int64)
+    L = int(lens.max())
+    rows = np.repeat(np.arange(nz, dtype=np.int64), lens)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    pos = np.arange(rows.shape[0]) - starts[rows]
+    A_pad = np.zeros((nz, L), dtype=np.int64)
+    D_pad = np.zeros((nz, L))
+    A_pad[rows, pos] = np.concatenate([As[i] for i in range(nz)])
+    D_pad[rows, pos] = np.concatenate([Ds[i] for i in range(nz)])
+    pmask = np.arange(L)[None, :] < lens[:, None]
+
+    # chunked profile match: one (nx, chunk, L) gather per chunk keeps
+    # the temp ~128 MB however many queries arrive at once
+    qblk = max(1, (1 << 24) // max(nx * L, 1))
+    head_q_parts, head_db_parts = [], []
+    for s in range(0, nz, qblk):
+        e = min(s + qblk, nz)
+        cols = ann.D[:, A_pad[s:e].reshape(-1)].reshape(nx, e - s, L)
+        diff = (cols - D_pad[None, s:e]) * pmask[None, s:e]
+        DD = np.sqrt(np.einsum("xql,xql->xq", diff, diff))
+        isort = np.argsort(DD, axis=0, kind="stable")  # (nx, q)
+        dds = np.take_along_axis(DD, isort, axis=0)
+        # beta-expanded head: every db point within ratio beta of the
+        # (k+1)-smallest profile distance (same cut as the per-query
+        # searchsorted on the sorted ratio)
+        cut = (dds < beta * dds[k][None, :]).sum(axis=0)
+        qq, rank = np.nonzero(
+            np.arange(nx)[None, :] < cut[:, None]
+        )
+        head_db_parts.append(isort[rank, qq].astype(np.int64))
+        head_q_parts.append((qq + s).astype(np.int64))
+    head_q = np.concatenate(head_q_parts)
+    head_db = np.concatenate(head_db_parts)
+
+    # one exact batch for every query's head (the reference evaluates
+    # per query; batching is where the wall-clock goes from minutes to
+    # seconds at nq ~ 10^3)
+    IJ = np.stack([head_db, head_q], axis=1)
+    nd = np.asarray(geq(ann.f, ann.X, Z, IJ), dtype=np.float64)
+
+    # per-query top-k of the evaluated heads, no per-query loop
+    order = np.lexsort((nd, head_q))
+    hq_s = head_q[order]
+    qstarts = np.searchsorted(hq_s, np.arange(nz))
+    rank = np.arange(hq_s.shape[0]) - qstarts[hq_s]
+    sel = rank < k
     out_i = np.zeros((nz, k), dtype=np.int64)
     out_d = np.zeros((nz, k))
-    for i in range(nz):
-        # profile-match every database point against this query
-        DD = np.linalg.norm(ann.D[:, As[i]] - Ds[i][None, :], axis=1)
-        isort = np.argsort(DD, kind="stable")
-        cut = np.searchsorted(DD[isort] / DD[isort[k]], beta)
-        head = isort[:cut]
-        IJ = np.stack(
-            [np.full(head.shape, i, dtype=np.int64), head], axis=1
-        )[:, ::-1]
-        nd = np.asarray(geq(ann.f, ann.X, Z, IJ), dtype=np.float64)
-        dsort = np.argsort(nd, kind="stable")[:k]
-        out_i[i], out_d[i] = head[dsort], nd[dsort]
+    out_i[hq_s[sel], rank[sel]] = head_db[order][sel]
+    out_d[hq_s[sel], rank[sel]] = nd[order][sel]
     return out_i, out_d
 
 

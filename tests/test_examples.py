@@ -276,3 +276,23 @@ def test_legacy_query(fitted_blobs, rng):
     np.testing.assert_allclose(
         ngd, np.take_along_axis(D, ngi, axis=1), rtol=1e-3, atol=1e-5
     )
+
+
+def test_legacy_query_batched_scales(fitted_blobs, rng):
+    """The vectorised legacy path (VERDICT r2 next #8) serves
+    nq=1000 through chunked profile matching and ONE exact head
+    batch — seconds, not the minutes a per-query loop would take."""
+    import time
+
+    ann, X, y = fitted_blobs
+    nq = 1000
+    ids = rng.integers(0, len(X), size=nq)
+    Q = X[ids] + rng.normal(scale=0.01, size=(nq, 2))
+    t0 = time.time()
+    ngi, ngd = ann.legacy_query(Q, k=5)
+    wall = time.time() - t0
+    assert ngi.shape == (nq, 5) and ngd.shape == (nq, 5)
+    # mutated copies recover their source as the top hit
+    assert (ngi[:, 0] == ids).mean() > 0.95
+    assert (np.diff(ngd, axis=1) >= 0).all()
+    assert wall < 60  # loose: CI varies; a python loop would be >>60
