@@ -453,7 +453,14 @@ class Annchor:
                 )
                 auto_cap = max(
                     4 * self.n_neighbors,
-                    int(round(cap_f * self._p_work_fit * self.nx)),
+                    int(
+                        round(
+                            cap_f
+                            * self._p_work_fit
+                            * self.nx
+                            * self._mesh_scale()
+                        )
+                    ),
                 )
                 (
                     ij_i, ij_j, m,
@@ -478,7 +485,14 @@ class Annchor:
                 )
                 auto_cap = max(
                     4 * self.n_neighbors,
-                    int(round(cap_f * self._p_work_fit * self.nx)),
+                    int(
+                        round(
+                            cap_f
+                            * self._p_work_fit
+                            * self.nx
+                            * self._mesh_scale()
+                        )
+                    ),
                 )
                 (
                     ij_i, ij_j, m,
@@ -514,6 +528,21 @@ class Annchor:
                 "Error: Not enough candidates in pool for all indices.\n"
                 + "Try again with higher locality."
             )
+
+    def _mesh_scale(self) -> int:
+        """Device count the fit state will shard over (1 single-chip).
+
+        The *derived* pair cap scales with the mesh so multi-chip buys
+        candidate coverage, not just residency: each chip still holds
+        ~cap_1chip * nx / s pairs, but the tracked set is s times
+        wider.  An explicit ANNCHOR_TPU_PAIR_CAP never scales — the
+        sharded fit is bit-identical to the single-chip fit whenever
+        the tracked pair set matches (tests/test_sharded_fit.py pins
+        this at matched caps)."""
+        from annchor_tpu import parallel
+
+        mesh = parallel.auto_mesh()
+        return 1 if mesh is None else int(mesh.size)
 
     def get_features_IJ(self, IJs, P_idx=None):
         """Per-pair features (reference annchor.py:258-303)."""
