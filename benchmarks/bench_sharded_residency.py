@@ -83,8 +83,12 @@ def main():
     ap.add_argument("--n", type=int, default=20000)
     args = ap.parse_args()
     os.environ.setdefault("ANNCHOR_TPU_FORCE_SPARSE", "1")
+    print("single-device run...", flush=True)
     single = run(args.n, sharded=False)
+    print(json.dumps(single), flush=True)
+    print("sharded run...", flush=True)
     shard = run(args.n, sharded=True)
+    print(json.dumps(shard), flush=True)
     rec = {
         "bench": "sharded_residency",
         "n": args.n,
