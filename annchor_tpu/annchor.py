@@ -338,9 +338,11 @@ class Annchor:
         (ops.locality.candidate_pairs_device); the host copy is only
         assembled if someone actually asks for it."""
         if self._IJs is None and self._ij_dev is not None:
-            ij_i, ij_j, _ = self._ij_dev
+            ij_i, ij_j, m = self._ij_dev
+            # sharded states pad the pair arrays to m_pad with
+            # sentinels; the host view is the first m real rows
             self._IJs = np.stack(
-                [np.asarray(ij_i), np.asarray(ij_j)], axis=1
+                [np.asarray(ij_i)[:m], np.asarray(ij_j)[:m]], axis=1
             )
         return self._IJs
 
@@ -1117,6 +1119,38 @@ class Annchor:
                 self.get_sample()
             except NothingToSample as err:
                 if it == 0:
+                    ncm = np.asarray(self.not_computed_mask)
+                    remaining = int(ncm.sum())
+                    budget = int(self._p_work_fit * self.N - self.na)
+                    if remaining == 0 or remaining <= budget:
+                        # tiny datasets: the stratified sampler cannot
+                        # draw (pool // 10 == 0), but the whole pool
+                        # fits the eval budget — evaluate it outright
+                        # and assemble the exact graph instead of
+                        # failing (the reference raises here)
+                        if remaining:
+                            ids = np.flatnonzero(ncm).astype(np.int64)
+                            if self._dev is not None:
+                                d = self._eval_pairs(
+                                    self._dev._pairs_at(ids)
+                                )
+                                self._dev.apply_exact(ids, d)
+                            else:
+                                d = self._eval_pairs(self.IJs[ids])
+                                self.RefineApprox[ids] = d
+                                self.not_computed_mask[ids] = False
+                        if self._dev is not None:
+                            # the regression predict never ran, so
+                            # device RA is still zeros for the
+                            # anchor-exact pairs
+                            self._dev.seed_ra_from_store()
+                        print(
+                            "Warning: nothing to sample — evaluated "
+                            + "the remaining %d candidate pairs "
+                            % remaining
+                            + "exactly."
+                        )
+                        break
                     raise ValueError(
                         "Sampler raised NothingToSample on first iteration."
                     ) from err

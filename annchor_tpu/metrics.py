@@ -314,7 +314,7 @@ class _LevenshteinEngine:
             mesh = parallel.auto_mesh()
             if mesh is not None and block % mesh.size:
                 mesh = None
-            if mesh is None and self._use_pallas():
+            if mesh is None and self._prefer_pallas(myers):
                 from annchor_tpu.ops.levenshtein_pallas import (
                     pallas_myers_pairs,
                 )
@@ -342,6 +342,23 @@ class _LevenshteinEngine:
             )
         return self._pallas_ok
 
+    def _prefer_pallas(self, myers) -> bool:
+        """Tier choice by shape (measured on v5e, bench_kernels --lev):
+        the XLA bitplane tier edges out Pallas on short strings
+        (W=16 words: 31.7 vs 29.1 GCUPS) while the VMEM-resident
+        Pallas layout is 2.4-2.5× at W>=56 (363 / 698 GCUPS at
+        lengths 1600 / 3200) — the whole (W, T) state is touched
+        every step, so wider patterns amortise the per-step overhead
+        and HBM streaming can't keep up.  ANNCHOR_TPU_FORCE_PALLAS
+        pins the Pallas tier for A/B runs."""
+        if not self._use_pallas():
+            return False
+        import os
+
+        if os.environ.get("ANNCHOR_TPU_FORCE_PALLAS"):
+            return True
+        return int(myers.W) > 24
+
     def batch_dev_ready(self, X):
         return self._encode(X)[2] is not None
 
@@ -358,7 +375,7 @@ class _LevenshteinEngine:
         myers = self._encode(X)[2]
         if myers is None:
             return None
-        use_pallas = self._use_pallas()
+        use_pallas = self._prefer_pallas(myers)
         if use_pallas:
             from annchor_tpu.ops.levenshtein_pallas import (
                 TILE,

@@ -30,6 +30,7 @@ equivalence is pinned by the accuracy-budget tests.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -643,15 +644,17 @@ def _member_lex(si, sj, qi, qj):
 
     def body(_, lh):
         lo, hi = lh
-        mid = (lo + hi) // 2
+        # lo + (hi - lo) // 2, not (lo + hi) // 2: the indices are
+        # int32 (x64 off) and the sum overflows past m ~ 2^30
+        mid = lo + (hi - lo) // 2
         c = jnp.clip(mid, 0, m - 1)
         mi = jnp.take(si, c)
         mj = jnp.take(sj, c)
         less = (mi < qi) | ((mi == qi) & (mj < qj))
         return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
 
-    # 35 halvings cover m < 2^35
-    lo, hi = jax.lax.fori_loop(0, 35, body, (lo, hi))
+    # 31 halvings cover every int32-addressable m
+    lo, hi = jax.lax.fori_loop(0, 31, body, (lo, hi))
     c = jnp.clip(lo, 0, m - 1)
     return (lo < m) & (jnp.take(si, c) == qi) & (jnp.take(sj, c) == qj)
 
@@ -1018,14 +1021,6 @@ class DeviceFitState:
             jax.block_until_ready((self.lb, self.ub, self.dad))
         _tick("features init")
 
-        # sharded builds route sentinel pairs to dropped row nx so the
-        # incidence matrix never lists them
-        if self.shard is not None and self.m_pad > self.m:
-            gid = jnp.arange(self.m_pad, dtype=jnp.int32)
-            bij_i = jnp.where(gid < self.m, self.ij_i, nx)
-            bij_j = jnp.where(gid < self.m, self.ij_j, nx)
-        else:
-            bij_i, bij_j = self.ij_i, self.ij_j
         if self.m == nx * (nx - 1) // 2 and not self.sparse:
             # all-pairs candidate set: build the incidence matrix on
             # device from its closed form instead of uploading it
@@ -1034,27 +1029,9 @@ class DeviceFitState:
             # large fits skip the host incidence matrix entirely:
             # build it on device by counting sort over the pair list;
             # hub degrees are capped to keep the matrix ~2 GB, keeping
-            # each point's lowest-lower-bound candidates
-            max_deg = int(np.asarray(ann.P_cnt).max())
-            budget = int(
-                os.environ.get(
-                    "ANNCHOR_TPU_PIDX_BUDGET", PIDX_BUDGET_ELEMS
-                )
-            )
-            cap = max(2 * ann.n_neighbors, budget // max(nx, 1))
-            deg = cap if max_deg > cap else max_deg
-            if self.shard is not None:
-                self.P_idx_d = self.shard.build_pidx(
-                    bij_i, bij_j, self.lb, nx, deg, max_deg > cap
-                )
-            elif max_deg > cap:
-                self.P_idx_d = _pidx_from_pairs_capped(
-                    bij_i, bij_j, self.lb, nx, cap
-                )
-            else:
-                self.P_idx_d = _pidx_from_pairs(
-                    bij_i, bij_j, nx, max_deg
-                )
+            # each point's lowest-lower-bound candidates (shared with
+            # the post-append rebuild)
+            self._rebuild_pidx()
         else:
             self.P_idx_d = jnp.asarray(ann.P_idx)
         if self.shard is not None:
@@ -1487,6 +1464,23 @@ class DeviceFitState:
                 self.ncm_host[ids] = False
                 self.exact64[ids] = vals
 
+    def seed_ra_from_store(self):
+        """Scatter every stored exact value into the device RA.
+
+        The first regression predict normally populates RA for every
+        pair; when the fit loop ends before it runs (tiny pools: the
+        sampler has nothing to draw on iteration 0), the anchor-pair
+        exacts exist only in the host store and RA still holds its
+        zeros init — the k-NN assembly would select garbage."""
+        self._flush_exacts()
+        if self.sparse:
+            ids, vals = self.exact.ids, self.exact.vals
+        else:
+            ids = np.flatnonzero(~self.ncm_host).astype(np.int64)
+            vals = self.exact64[ids]
+        if ids.shape[0]:
+            self.apply_exact(np.asarray(ids, np.int64), vals)
+
     def apply_exact(self, ids, vals):
         idd = jnp.asarray(ids.astype(np.int32))
         vd = jnp.asarray(np.asarray(vals, np.float32))
@@ -1597,10 +1591,10 @@ class DeviceFitState:
         return np.asarray(_member_lex(si, sj, qi, qj))
 
     def _rebuild_pidx(self):
-        """Re-run the incidence-matrix build after an append (same
-        branch logic as __init__)."""
-        import os
-
+        """Device incidence-matrix build: sentinel masking, the
+        PIDX_BUDGET degree cap, and the shard/capped/plain dispatch.
+        Called from __init__ and re-run after an append (degrees
+        changed)."""
         ann = self.ann
         nx = ann.nx
         if self.shard is not None and self.m_pad > self.m:
@@ -1694,6 +1688,19 @@ class DeviceFitState:
             self.lb, self.ub, self.dad = cat_lb, cat_ub, cat_dad
             self.RA, self.ncm = cat_RA, cat_ncm
         self.m_pad = self.m if self.shard is None else self.shard.m_pad
+
+        # keep the orchestrator's pair-list view aligned with the
+        # extended state: features/RA/ncm now have m rows, so ann.IJs
+        # must too (save(), plug-ins, and _pairs_at in dense mode all
+        # read it), and a cached host P_idx would be stale
+        if ann._IJs is not None:
+            ann._IJs = np.concatenate(
+                [ann._IJs, np.asarray(IJ_new, dtype=ann._IJs.dtype)],
+                axis=0,
+            )
+        if ann._ij_dev is not None:
+            ann._ij_dev = (self.ij_i, self.ij_j, self.m)
+        ann._P_idx = None
 
         # bookkeeping: sampling pool, exact values, host mirrors
         self.pool += int(ncm_new.sum())

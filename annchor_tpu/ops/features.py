@@ -91,6 +91,10 @@ def anchor_membership(D, locality: int):
     transposed Amatrix with a Python loop)."""
     D = jnp.asarray(D, dtype=jnp.float32)
     nx, na = D.shape
+    # tiny datasets can have fewer anchors than `locality`; top_k
+    # refuses k > na outright, and "all anchors are near" is the
+    # right degenerate semantics
+    locality = min(int(locality), int(na))
     _, sid = jax.lax.top_k(-D, locality)  # (nx, locality) nearest anchors
     S = jnp.zeros((nx, na), dtype=jnp.float32)
     rows = jnp.broadcast_to(jnp.arange(nx)[:, None], sid.shape)

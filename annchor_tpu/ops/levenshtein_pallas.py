@@ -42,7 +42,22 @@ from annchor_tpu.ops._backend import pallas_interpret
 UINT1 = np.uint32(1)
 UFULL = np.uint32(0xFFFFFFFF)
 
-TILE = 1024  # pairs per grid program (lane-axis width)
+TILE = 1024  # max pairs per grid program (lane-axis width)
+
+
+def _tile_for(K: int, W: int, L: int) -> int:
+    """Largest power-of-two lane width (<= TILE, >= 128) whose blocks
+    fit the ~16 MB scoped VMEM: the pipeline double-buffers the
+    planes (K,2,W,T) and text (L,T) input blocks, and the kernel
+    carries ~6 (W,T) state/temp arrays plus a few (1,T) rows.  Long
+    strings (large L, W) previously OOM'd the fixed T=1024 tile:
+    'Scoped allocation ... exceeded scoped vmem limit' at length 1600."""
+    budget = 13 * 1024 * 1024
+    per_lane = 4 * (2 * (K * 2 * W + L) + 6 * W + 8)
+    t = TILE
+    while t > 128 and t * per_lane > budget:
+        t //= 2
+    return t
 
 
 def _kernel(planes_ref, text_ref, la_ref, lb_ref, maxlb_ref, out_ref):
@@ -151,35 +166,38 @@ def _kernel(planes_ref, text_ref, la_ref, lb_ref, maxlb_ref, out_ref):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _pallas_batch(planes, text, la, lb, maxlb, interpret: bool):
-    """planes (K,2,W,B), text (L,B), la/lb (1,B), maxlb (1,1) -> (1,B)."""
+    """planes (K,2,W,B), text (L,B), la/lb (1,B), maxlb (1,1) -> (1,B).
+    B must be a multiple of the VMEM-fitted tile (every power-of-two
+    tile <= TILE divides the TILE-padded batches the callers build)."""
     K, _, W, B = planes.shape
     L = text.shape[0]
-    grid = (B // TILE,)
+    tile = _tile_for(K, W, L)
+    grid = (B // tile,)
     return pl.pallas_call(
         _kernel,
         out_shape=jax.ShapeDtypeStruct((1, B), jnp.int32),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (K, 2, W, TILE),
+                (K, 2, W, tile),
                 lambda i: (0, 0, 0, i),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (L, TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+                (L, tile), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+                (1, tile), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+                (1, tile), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+            (1, tile), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
     )(planes, text, la, lb, maxlb)

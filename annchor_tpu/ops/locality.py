@@ -207,7 +207,8 @@ def candidate_pairs(
         _t0 = _time.perf_counter()
         D32 = jnp.asarray(np.asarray(D), dtype=jnp.float32)
         S, sid, eff, packed, total = _fused_locality(
-            D32, int(locality), int(loc_min), int(loc_thresh)
+            D32, min(int(locality), int(D32.shape[1])),
+            int(loc_min), int(loc_thresh)
         )
         # one blocking download for the mask + count; S/sid/eff stay
         # device-resident (nothing in the fit reads them — the caller

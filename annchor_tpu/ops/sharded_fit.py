@@ -531,6 +531,10 @@ class ShardedFit:
         rows_shard = self.shard_rows
         m_real = self.m_real
         nx = self.nx
+        # the unsharded twin clamps to the incidence width — top_k
+        # fails outright when max_deg < k (narrow P_idx: small fits,
+        # tight pair caps)
+        k = min(int(k), int(P_idx.shape[1]))
 
         def build():
             def body(RA_full, ncm_full, rows_blk, pair_sum, y):

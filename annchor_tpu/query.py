@@ -366,7 +366,15 @@ def legacy_query_(ann, Z, get_exact_query_ijs=None, k=5, alpha=1.4, beta=1.4):
         # beta-expanded head: every db point within ratio beta of the
         # (k+1)-smallest profile distance (same cut as the per-query
         # searchsorted on the sorted ratio)
-        cut = (dds < beta * dds[k][None, :]).sum(axis=0)
+        selq = dds < beta * dds[k][None, :]
+        # degenerate profiles: >= k+1 db points match the query's
+        # anchor profile exactly (dds[k] == 0), so the ratio cut
+        # selects nothing — keep the zero-distance matches (a prefix
+        # of the sort) instead of silently emitting an all-zero row
+        zerok = dds[k] == 0
+        if zerok.any():
+            selq |= (dds == 0) & zerok[None, :]
+        cut = selq.sum(axis=0)
         qq, rank = np.nonzero(
             np.arange(nx)[None, :] < cut[:, None]
         )

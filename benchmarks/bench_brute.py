@@ -73,7 +73,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--strings", action="store_true")
     args = ap.parse_args()
-    bench_strings()
+    if args.strings:
+        bench_strings()
+    else:
+        ap.error("pick a dataset: --strings")
 
 
 if __name__ == "__main__":

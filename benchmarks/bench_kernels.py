@@ -166,19 +166,21 @@ def bench_sinkhorn(args):
     # (2) MXU peak: chained large matmuls (spectral norm ~1 so the
     # chain neither overflows nor folds), bf16 and f32
     def mxu_peak(dtype, N=8192, chain=8):
-        A = jnp.asarray(
-            (rng.standard_normal((N, N)) / np.sqrt(N)).astype(dtype)
-        )
-
+        # A is an ARGUMENT, not a closure constant: a closed-over
+        # 256 MB f32 matrix gets baked into the compile payload and
+        # the relay rejects it (HTTP 413)
         @jax.jit
-        def f(x):
+        def f(x, A):
             def body(_, y):
                 return y @ A
             return jax.lax.fori_loop(0, chain, body, x).sum()
 
+        A = jnp.asarray(
+            (rng.standard_normal((N, N)) / np.sqrt(N)).astype(dtype)
+        )
         x0 = jnp.asarray(rng.standard_normal((N, N)).astype(dtype))
-        np.asarray(f(x0))  # warm
-        tm = _best_of(lambda: np.asarray(f(x0)), args.reps)
+        np.asarray(f(x0, A))  # warm
+        tm = _best_of(lambda: np.asarray(f(x0, A)), args.reps)
         return chain * 2.0 * N ** 3 / tm / 1e12
 
     mxu_bf16 = mxu_peak(jnp.bfloat16)

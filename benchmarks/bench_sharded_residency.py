@@ -83,6 +83,14 @@ def main():
     ap.add_argument("--n", type=int, default=20000)
     args = ap.parse_args()
     os.environ.setdefault("ANNCHOR_TPU_FORCE_SPARSE", "1")
+    # Pin an EXPLICIT pair cap: the derived cap scales with the mesh
+    # (cap x s — multi-chip buys candidate coverage), which on a
+    # VIRTUAL mesh sharing one physical core means the sharded run
+    # does s times the single-device compute and times out.  An
+    # explicit cap never scales, so both runs track the same pair set
+    # and the per-shard residency claim (~m_pad/s) is measured at
+    # matched m.
+    os.environ.setdefault("ANNCHOR_TPU_PAIR_CAP", "200")
     print("single-device run...", flush=True)
     single = run(args.n, sharded=False)
     print(json.dumps(single), flush=True)

@@ -18,6 +18,15 @@ timeout 3600 python benchmarks/bench_kernels.py --sinkhorn --fit-split \
 echo kernels2_done >> /tmp/q3c_status.log
 date >> /tmp/q3c_status.log
 
+# Pallas-vs-XLA Myers across string lengths: at 400 chars the two
+# tiers tie (0.97x); longer strings raise the VMEM-residency stakes
+timeout 1800 python benchmarks/bench_kernels.py --lev --n 4000 \
+  --length 1600 --pairs 16384 > /tmp/q3c_lev1600.log 2>&1
+timeout 1800 python benchmarks/bench_kernels.py --lev --n 4000 \
+  --length 3200 --pairs 8192 > /tmp/q3c_lev3200.log 2>&1
+echo lev_sweep_done >> /tmp/q3c_status.log
+date >> /tmp/q3c_status.log
+
 timeout 2400 python benchmarks/bench_brute.py --strings \
   > /tmp/q3c_brute.log 2>&1
 echo brute_done >> /tmp/q3c_status.log

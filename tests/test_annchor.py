@@ -281,3 +281,23 @@ def test_to_sparse_matrix(blobs):
     S = S.tocsr()
     assert (abs(S - S.T) > 0).nnz == 0
     assert S.nnz > 0
+
+
+def test_tiny_dataset_exact_graph():
+    """Datasets smaller than the sampler's stratification floor
+    (pool // 10 == 0) must still fit: locality clamps to the anchor
+    count, and the iteration-0 NothingToSample path evaluates the
+    remaining pool outright — the graph comes out exact (regression:
+    top_k ValueError, then a garbage graph from the never-seeded
+    device RA)."""
+    rng = np.random.default_rng(0)
+    for n, na, k in [(4, 2, 2), (12, 5, 3)]:
+        X = rng.random((n, 3))
+        ann = at.Annchor(X, "euclidean", n_anchors=na, n_neighbors=k)
+        ann.fit()
+        bf = at.BruteForce(X, "euclidean")
+        bf.fit()
+        err = at.compare_neighbor_graphs(
+            bf.neighbor_graph, ann.neighbor_graph, k
+        )
+        assert err == 0, (n, err)

@@ -473,3 +473,85 @@ def test_enemies_device_resident_20k(_force_sparse):
     rows = rng2.integers(0, nx, size=200)
     assert (y[ngi[rows]] != y[rows][:, None]).mean() > 0.99
     assert 0 < len(sub) < nx
+
+
+def test_enemies_device_dense_append():
+    """Dense-mode (nx <= 4096, non-sparse DeviceFitState) enemies with
+    APPENDED cross-cluster pairs: append_pairs must keep ann.IJs /
+    features / RefineApprox / ncm aligned at the new m (the dense
+    _pairs_at and save() read ann.IJs), and the anchor-exact fill must
+    not index past the old pair list.  Regression: IndexError in
+    _fill_anchor_exacts and a misaligned persisted index."""
+    from sklearn.datasets import make_blobs
+
+    import annchor_tpu as at
+
+    nx = 300
+    X, y = make_blobs(
+        n_samples=nx, centers=2, n_features=4, cluster_std=0.5,
+        center_box=(-30.0, 30.0), random_state=11,
+    )
+    ann = at.Annchor(
+        X, "euclidean", n_anchors=10, n_neighbors=5,
+        n_samples=800, p_work=0.05, loc_thresh=2, random_seed=42,
+    )
+    ann.fit()
+    assert ann._dev is not None and not ann._dev.sparse
+    m_before = len(ann.IJs)
+
+    ngi, ngd = ann.get_nearest_enemies(y, nn=3)
+
+    # the well-separated clusters guarantee the locality filter
+    # dropped cross pairs, so the enemies path really appended
+    m_after = ann._dev.m
+    assert m_after > m_before
+    assert len(ann.IJs) == m_after
+    assert len(ann.features) == m_after
+    assert len(ann.RefineApprox) == m_after
+    assert len(ann.not_computed_mask) == m_after
+    # every enemy row crosses the label boundary with sane distances
+    assert (y[ngi] != y[:, None]).all()
+    assert np.isfinite(ngd).all() and (ngd > 0).all()
+
+    # the host P_idx view regenerates from the EXTENDED pair list
+    P_idx = ann.P_idx
+    assert P_idx.max() >= m_before
+
+    # persisted index round-trips aligned
+    import tempfile
+
+    import annchor_tpu.io as aio
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "idx.npz")
+        aio.save_annchor(ann, path)
+        ann2 = aio.load_annchor(path, X, "euclidean")
+        assert len(ann2.IJs) == m_after
+        assert len(ann2.RefineApprox) == m_after
+
+
+def test_legacy_query_duplicate_profiles():
+    """A query whose anchor profile is shared by >= k+1 database
+    points (duplicates) must return those duplicates at distance 0 —
+    not a silent all-zero row (regression: the beta-ratio cut selects
+    nothing when the (k+1)-smallest profile distance is 0)."""
+    from sklearn.datasets import make_blobs
+
+    import annchor_tpu as at
+
+    X, _ = make_blobs(centers=6, n_samples=400, random_state=3)
+    dup = np.arange(100, 108)  # 8 identical rows > k+1
+    X[dup] = X[100]
+    ann = at.Annchor(
+        X, "euclidean", n_anchors=12, n_neighbors=10, p_work=0.25,
+        random_seed=42,
+    )
+    ann.fit()
+    Q = np.stack([X[100], X[5]])
+    ngi, ngd = ann.legacy_query(Q, k=5)
+    # every returned neighbour of the duplicated query IS a duplicate
+    assert set(ngi[0]).issubset(set(dup.tolist()))
+    np.testing.assert_allclose(ngd[0], 0.0, atol=1e-12)
+    # and the ordinary query is untouched by the degenerate branch
+    D = np.linalg.norm(Q[1] - X, axis=1)
+    assert D[ngi[1]].max() <= np.sort(D)[8] + 1e-9

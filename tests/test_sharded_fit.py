@@ -201,3 +201,28 @@ def test_sharded_residency_at_scale(_sharding_on, _force_sparse,
     m_single = a_1._dev.m
     # the mesh-scaled cap admits a materially wider candidate set
     assert m_sharded > 2 * m_single
+
+
+def test_sharded_enemy_refine_narrow_pidx(_sharding_on, _force_sparse):
+    """Enemy refinement on a SHARDED state whose incidence matrix is
+    narrower than the k=50 refine fan-out must clamp like the
+    unsharded twin instead of failing top_k (regression: ValueError
+    'k argument to top_k must be no larger than size along axis' on
+    small fits / tight pair caps)."""
+    X, y = make_blobs(
+        n_samples=40, n_features=4, centers=2, cluster_std=0.8,
+        random_state=9,
+    )
+    kw = dict(
+        func="euclidean", n_anchors=6, n_neighbors=3,
+        n_samples=100, p_work=0.4, random_seed=42,
+    )
+    a_s = _fit(X, True, **kw)
+    assert a_s._dev is not None and a_s._dev.shard is not None
+    assert a_s._dev.P_idx_d.shape[1] < 50  # the regression's trigger
+    ngi_s, ngd_s = a_s.get_nearest_enemies(y, nn=2)
+
+    a_1 = _fit(X, False, **kw)
+    ngi_1, ngd_1 = a_1.get_nearest_enemies(y, nn=2)
+    np.testing.assert_allclose(ngd_s, ngd_1, rtol=1e-5, atol=1e-6)
+    assert (y[ngi_s] != y[:, None]).all()
