@@ -341,3 +341,47 @@ def test_pallas_matches_xla_myers(rng):
         pallas_myers_pairs(enc, I, J, block_size=1024),
         myers_pairs(enc, I, J),
     )
+
+
+def test_pallas_tile_scales_with_shape(rng):
+    """The (W, T) tile must shrink as pattern width / text length
+    grow, or the double-buffered blocks blow the ~16 MB scoped VMEM
+    (regression: fixed T=1024 OOM'd at length >= 1600 on TPU).  The
+    tile stays a power of two so it always divides the TILE-padded
+    batches, and the kernel at a sub-maximal tile still matches the
+    XLA oracle (interpret mode exercises the same grid/block logic)."""
+    from annchor_tpu.ops.levenshtein_myers import (
+        MyersEncoding,
+        myers_pairs,
+    )
+    from annchor_tpu.ops.levenshtein_pallas import (
+        TILE,
+        _tile_for,
+        pallas_myers_pairs,
+    )
+
+    # measured shapes: headline keeps the full tile, long strings halve
+    assert _tile_for(2, 16, 448) == 1024
+    assert _tile_for(2, 56, 1792) == 512
+    assert _tile_for(2, 112, 3584) == 256
+    for K, W, L in [(2, 16, 448), (5, 40, 1200), (2, 400, 12800)]:
+        t = _tile_for(K, W, L)
+        assert 128 <= t <= TILE and TILE % t == 0
+        assert t & (t - 1) == 0  # power of two
+        # double-buffered blocks + ~6 state arrays fit the budget
+        # (above the 128-lane floor; past it the engine's try/except
+        # falls back to the XLA tier)
+        if t > 128:
+            assert t * 4 * (2 * (K * 2 * W + L) + 6 * W + 8) <= 13 << 20
+
+    # correctness at a sub-maximal tile: long strings, vs XLA Myers
+    strs = _random_strings(rng, 24, max_len=1700, alphabet="ab")
+    codes, lengths = encode_strings(strs)
+    enc = MyersEncoding.from_codes(codes, lengths)
+    assert _tile_for(1, enc.W, enc.ids.shape[1]) < TILE
+    I = rng.integers(0, 24, size=700)
+    J = rng.integers(0, 24, size=700)
+    np.testing.assert_array_equal(
+        pallas_myers_pairs(enc, I, J, block_size=1024),
+        myers_pairs(enc, I, J),
+    )
