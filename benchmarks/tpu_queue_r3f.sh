@@ -12,6 +12,14 @@ grep -o '{"metric".*}' /tmp/q3f_headline.log | tail -1 \
 echo headline_done >> /tmp/q3f_status.log
 date >> /tmp/q3f_status.log
 
+# stage-level decomposition of the stable ~9 s digits hybrid: where
+# do the non-EMD seconds go (the serial exact batch is ~3.4 s and
+# partially overlapped)?
+ANNCHOR_TPU_DEBUG_TIMING=1 timeout 2400 python benchmarks/bench_digits.py \
+  > /tmp/q3f_digits_debug.log 2>&1
+echo digits_debug_done >> /tmp/q3f_status.log
+date >> /tmp/q3f_status.log
+
 timeout 3600 python benchmarks/bench_digits_large.py \
   > /tmp/q3f_digits_large.log 2>&1
 grep -o '{"metric".*}' /tmp/q3f_digits_large.log | tail -1 \
