@@ -520,6 +520,185 @@ def _keep_counts(keep, ij_i, ij_j, nx_arr):
     return cnt.at[ij_j].add(w, mode="drop")
 
 
+# ---------------------------------------------------------------------------
+# Dense-band kernels for the budgeted build.
+#
+# jnp.flatnonzero(size=...) lowers to cumsum + a bincount SCATTER over
+# every element of the band mask (~4e8 updates per 4096-row band at
+# nx=1e5), and the per-pair histogram / count folds are scatters too —
+# profiled as the build's bottleneck on TPU
+# (benchmarks/profile_budget_build.py).  The dense twins below compute
+# the SAME math (same f32 triangle lower bounds, same binning, same
+# bin-conservative threshold rule, same int counts) with reductions
+# only, so results are bit-identical to the pair-fold kernels above:
+#
+# * `_band_bins_sym` — binned lower bounds of a row band against all
+#   columns, dense, chunked in-program; the symmetric row view (every
+#   admitted partner of row p appears in p's row) carries the same
+#   per-point multiset the upper-triangular pair fold scatters into
+#   both endpoints.
+# * `_band_thr_from_bins` — per-row threshold via log2(nbins)-step
+#   batched bisection over the binned matrix: the first bin whose
+#   cumulative count reaches the cap, exactly `_hist_thresholds`'
+#   argmax(cumsum >= cap).
+# * `_band_keep2_dense` — pass-2 keep mask (upper-triangular admitted
+#   & lb under either endpoint's threshold) plus per-point counts as
+#   row/column sums (replacing the `_keep_counts` scatter).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("nbins", "cchunk"))
+def _band_bins_sym(
+    D32, S, Sb, Db, eb, eff_all, row_off, inv_bin, nbins: int,
+    cchunk: int = 2048,
+):
+    """int16 (B, nx_pad) binned triangle lower bounds for a row band,
+    symmetric admitted view; sentinel `nbins` marks non-candidates.
+
+    Caller pads the column axis of D32/S/eff_all to a multiple of
+    `cchunk` (padded points have zero membership rows, so they are
+    never admitted) and the band rows of Sb/Db to the block size the
+    same way the pair-fold loop does."""
+    B = Sb.shape[0]
+    nxp = S.shape[0]
+    nchunks = nxp // cchunk
+    rows = row_off + jnp.arange(B, dtype=jnp.int32)
+
+    def body(c, out):
+        c0 = c * cchunk
+        Sc = jax.lax.dynamic_slice(S, (c0, 0), (cchunk, S.shape[1]))
+        counts = jax.lax.dot_general(
+            Sb, Sc,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ec = jax.lax.dynamic_slice(eff_all, (c0,), (cchunk,))
+        thr = jnp.minimum(eb[:, None], ec[None, :])
+        cols = c0 + jnp.arange(cchunk, dtype=jnp.int32)
+        adm = (counts >= thr) & (cols[None, :] != rows[:, None])
+        Dc = jax.lax.dynamic_slice(
+            D32, (c0, 0), (cchunk, D32.shape[1])
+        )
+        lb = jnp.max(
+            jnp.abs(Db[:, None, :] - Dc[None, :, :]), axis=2
+        )
+        b = jnp.clip((lb * inv_bin).astype(jnp.int32), 0, nbins - 1)
+        binc = jnp.where(adm, b, nbins).astype(jnp.int16)
+        return jax.lax.dynamic_update_slice(out, binc, (0, c0))
+
+    out = jax.lax.fori_loop(
+        0, nchunks, body,
+        jnp.full((B, nxp), nbins, dtype=jnp.int16),
+    )
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("nbins",))
+def _band_thr_from_bins(BINs, cap, bin_w, nbins: int):
+    """Per-row lb threshold from the binned band: first bin whose
+    cumulative count reaches `cap` (bin-conservative, identical to
+    `_hist_thresholds`), +inf for rows with fewer than cap candidates."""
+    kept = jnp.sum(BINs < nbins, axis=1, dtype=jnp.int32)
+    B = BINs.shape[0]
+    lo = jnp.zeros(B, dtype=jnp.int32)
+    hi = jnp.full(B, nbins - 1, dtype=jnp.int32)
+    # batched bisection: invariant f(hi) >= cap for reached rows
+    for _ in range(int(nbins - 1).bit_length()):
+        mid = (lo + hi) // 2
+        cnt = jnp.sum(
+            BINs <= mid[:, None].astype(jnp.int16), axis=1,
+            dtype=jnp.int32,
+        )
+        hit = cnt >= cap
+        hi = jnp.where(hit, mid, hi)
+        lo = jnp.where(hit, lo, mid + 1)
+    thr = (lo.astype(jnp.float32) + 1.0) * bin_w
+    return jnp.where(kept >= cap, thr, jnp.float32(np.inf))
+
+
+@functools.partial(jax.jit, static_argnames=("cchunk",))
+def _band_keep2_dense(
+    D32, S, Sb, Db, eb, eff_all, thr_all, row_off, cchunk: int = 2048,
+):
+    """Pass-2 keep mask for a row band, dense: upper-triangular
+    admitted pairs whose lb is under either endpoint's threshold.
+
+    Returns (keep (B, nx_pad) bool, rowcnt (B,), colcnt (nx_pad,),
+    kept total) — the counts replace the `_keep_counts` scatter with
+    plain reductions."""
+    B = Sb.shape[0]
+    nxp = S.shape[0]
+    nchunks = nxp // cchunk
+    rows = row_off + jnp.arange(B, dtype=jnp.int32)
+    thr_rows = jax.lax.dynamic_slice(thr_all, (row_off,), (B,))
+
+    def body(c, keep):
+        c0 = c * cchunk
+        Sc = jax.lax.dynamic_slice(S, (c0, 0), (cchunk, S.shape[1]))
+        counts = jax.lax.dot_general(
+            Sb, Sc,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ec = jax.lax.dynamic_slice(eff_all, (c0,), (cchunk,))
+        thr = jnp.minimum(eb[:, None], ec[None, :])
+        cols = c0 + jnp.arange(cchunk, dtype=jnp.int32)
+        adm = (counts >= thr) & (cols[None, :] > rows[:, None])
+        Dc = jax.lax.dynamic_slice(
+            D32, (c0, 0), (cchunk, D32.shape[1])
+        )
+        lb = jnp.max(
+            jnp.abs(Db[:, None, :] - Dc[None, :, :]), axis=2
+        )
+        tc = jax.lax.dynamic_slice(thr_all, (c0,), (cchunk,))
+        kc = adm & (lb <= jnp.maximum(thr_rows[:, None], tc[None, :]))
+        return jax.lax.dynamic_update_slice(keep, kc, (0, c0))
+
+    keep = jax.lax.fori_loop(
+        0, nchunks, body, jnp.zeros((B, nxp), dtype=bool)
+    )
+    rowcnt = jnp.sum(keep, axis=1, dtype=jnp.int32)
+    colcnt = jnp.sum(keep, axis=0, dtype=jnp.int32)
+    return keep, rowcnt, colcnt, jnp.sum(rowcnt, dtype=jnp.int32)
+
+
+@jax.jit
+def _accum_band_counts(P_cnt, rowcnt, colcnt, row_off):
+    """Fold a band's per-point counts into the accumulator: column
+    sums add everywhere, row sums add at the band's row offset."""
+    P_cnt = P_cnt + colcnt
+    cur = jax.lax.dynamic_slice(P_cnt, (row_off,), (rowcnt.shape[0],))
+    return jax.lax.dynamic_update_slice(P_cnt, cur + rowcnt, (row_off,))
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _extract_dense(keep, row_off, cap: int):
+    """Pair coordinates of a dense band keep mask, row-major order
+    (identical to the pair-fold path's flatnonzero-then-filter order)."""
+    nxp = keep.shape[1]
+    flat = jnp.flatnonzero(keep, size=cap, fill_value=0)
+    i = row_off + (flat // nxp).astype(jnp.int32)
+    j = (flat % nxp).astype(jnp.int32)
+    return i, j
+
+
+@functools.partial(jax.jit, static_argnames=("K", "cap"))
+def _extract_dense_topk(keep, row_off, K: int, cap: int):
+    """Same pair list as `_extract_dense` via per-row top-k: each
+    row's set columns in ascending order (scores nxp - col are unique
+    per column), then one small flatnonzero over the (B, K) valid mask
+    instead of the (B, nx) one.  Requires K >= max per-row count."""
+    B, nxp = keep.shape
+    cols = jnp.arange(nxp, dtype=jnp.int32)
+    vals = jnp.where(keep, nxp - cols[None, :], 0)
+    v, _ = jax.lax.top_k(vals, K)  # descending = col ascending
+    valid = v > 0
+    flat = jnp.flatnonzero(valid, size=cap, fill_value=0)
+    i = row_off + (flat // K).astype(jnp.int32)
+    j = (nxp - jnp.take(v.ravel(), flat)).astype(jnp.int32)
+    return i, j
+
+
 _SHARDED_BUILD_CACHE: dict = {}
 
 
@@ -891,55 +1070,77 @@ def candidate_pairs_device_budgeted(
             ij_i, ij_j, m, np.asarray(sid), np.asarray(S), eff, P_cnt,
         )
 
-    # ---- pass 1: band totals + lb histograms -------------------------
-    blocks, totals = [], []
-    hist = jnp.zeros((nx, nbins), dtype=jnp.int32)
+    # ---- single-chip: dense band passes (reductions only) ------------
+    # jnp.flatnonzero / .at[].add lower to per-element SCATTERS on TPU
+    # (~80M updates/s measured, benchmarks/profile_budget_build.py), so
+    # the pair-fold formulation was scatter-bound at ~5.5 s per
+    # 4096-row band at nx=1e5.  The dense twins compute the same f32
+    # lower bounds, binning, threshold rule and int counts with matmuls
+    # and reductions; the sharded build (above) keeps the pair-fold
+    # kernels and the equality test pins the two implementations to
+    # each other (tests/test_sharded_fit.py).
+    nxp = ((nx + nblk - 1) // nblk) * nblk  # multiple of nblk & cchunk
+    while nblk * nxp > (1 << 31) - 1 and nblk > 256:
+        nblk //= 2
+        nxp = ((nx + nblk - 1) // nblk) * nblk
+    cchunk = 2048 if nblk % 2048 == 0 else nblk
+    pad = nxp - nx
+    Sp = jnp.pad(S, ((0, pad), (0, 0))) if pad else jnp.asarray(S)
+    D32p = jnp.pad(D32, ((0, pad), (0, 0))) if pad else D32
+    effp = (
+        jnp.pad(eff_j, (0, pad), constant_values=np.float32(np.inf))
+        if pad else eff_j
+    )
+
+    # ---- pass 1: per-band thresholds ---------------------------------
+    thr_parts = []
     for s in progress(
-        range(0, nx, nblk), "pair-budget pass 1", verbose
+        range(0, nxp, nblk), "pair-budget pass 1", verbose
     ):
-        e = min(s + nblk, nx)
-        Sb = S[s:e]
-        eb = eff_j[s:e]
-        if e - s < nblk:
-            Sb = jnp.pad(Sb, ((0, nblk - (e - s)), (0, 0)))
-            eb = jnp.pad(eb, (0, nblk - (e - s)),
-                         constant_values=np.float32(np.inf))
-        t, _, _ = _block_keep_total(S, Sb, eb, eff_j, np.int32(s))
-        t = int(t)
-        blocks.append((s, Sb, eb, t))
-        totals.append(t)
-        if t == 0:
-            continue
-        cap = _cap_bucket(t)
-        bi, bj = _block_keep_extract(S, Sb, eb, eff_j, np.int32(s), cap)
-        bi, bj = bi[:t], bj[:t]
-        lb = _pairs_lb(D32, bi, bj)
-        hist = _hist_update(hist, bi, bj, lb, inv_bin, nbins)
-    np.asarray(hist[:1, :1])  # sync: bound in-flight band state
+        Sb = jax.lax.dynamic_slice(Sp, (s, 0), (nblk, Sp.shape[1]))
+        Db = jax.lax.dynamic_slice(D32p, (s, 0), (nblk, D32p.shape[1]))
+        eb = jax.lax.dynamic_slice(effp, (s,), (nblk,))
+        BINs = _band_bins_sym(
+            D32p, Sp, Sb, Db, eb, effp, np.int32(s), inv_bin, nbins,
+            cchunk,
+        )
+        thr_b = _band_thr_from_bins(
+            BINs, jnp.int32(per_point_cap), bin_w, nbins
+        )
+        # blocking 1-element download: bounds in-flight BINs state to
+        # one band's (nblk, nxp) buffer
+        np.asarray(thr_b[:1])
+        thr_parts.append(thr_b)
+    thr = jnp.concatenate(thr_parts)  # (nxp,); pad rows are +inf
 
-    thr = _hist_thresholds(hist, jnp.int32(per_point_cap), bin_w, nbins)
-    del hist
-
-    # ---- pass 2: re-extract, keep pairs under either threshold -------
+    # ---- pass 2: dense keep, counts as reductions, one extraction ----
     parts_i, parts_j = [], []
     m = 0
-    P_cnt = jnp.zeros(nx, dtype=jnp.int32)
-    for (s, Sb, eb, t) in progress(
-        blocks, "pair-budget pass 2", verbose
+    P_cnt = jnp.zeros(nxp, dtype=jnp.int32)
+    for s in progress(
+        range(0, nxp, nblk), "pair-budget pass 2", verbose
     ):
-        if t == 0:
-            continue
-        cap = _cap_bucket(t)
-        bi, bj = _block_keep_extract(S, Sb, eb, eff_j, np.int32(s), cap)
-        bi, bj = bi[:t], bj[:t]
-        lb = _pairs_lb(D32, bi, bj)
-        keep = lb <= jnp.maximum(jnp.take(thr, bi), jnp.take(thr, bj))
-        kept = int(jnp.sum(keep, dtype=jnp.int32))
-        P_cnt = _keep_counts(keep, bi, bj, P_cnt)
+        Sb = jax.lax.dynamic_slice(Sp, (s, 0), (nblk, Sp.shape[1]))
+        Db = jax.lax.dynamic_slice(D32p, (s, 0), (nblk, D32p.shape[1]))
+        eb = jax.lax.dynamic_slice(effp, (s,), (nblk,))
+        keep, rowcnt, colcnt, kept = _band_keep2_dense(
+            D32p, Sp, Sb, Db, eb, effp, thr, np.int32(s), cchunk
+        )
+        kept = int(kept)  # blocking: bounds in-flight keep state
+        P_cnt = _accum_band_counts(P_cnt, rowcnt, colcnt, np.int32(s))
         if kept == 0:
             continue
         kcap = _cap_bucket(kept)
-        ki, kj = _compact_kept(bi, bj, keep, kcap)
+        # per-row top-k extraction beats the flatnonzero scatter ~6x on
+        # TPU (profile_budget_build.py); it needs K >= the band's max
+        # row count, so fall back to flatnonzero when rows are so heavy
+        # the top_k would scan most of the row anyway
+        kmax = int(jnp.max(rowcnt))
+        K = min(max(1 << max(kmax - 1, 0).bit_length(), 128), nxp)
+        if K <= nxp // 8:
+            ki, kj = _extract_dense_topk(keep, np.int32(s), K, kcap)
+        else:
+            ki, kj = _extract_dense(keep, np.int32(s), kcap)
         parts_i.append(ki[:kept])
         parts_j.append(kj[:kept])
         m += kept
@@ -951,7 +1152,7 @@ def candidate_pairs_device_budgeted(
         ij_j = jnp.zeros(0, jnp.int32)
     return (
         ij_i, ij_j, m, np.asarray(sid), np.asarray(S), eff,
-        np.asarray(P_cnt).astype(np.int32),
+        np.asarray(P_cnt)[:nx].astype(np.int32),
     )
 
 
