@@ -592,7 +592,7 @@ def _knn(RA, ncm, P_idx, ij_i, ij_j, nn: int):
     nblk = (nx + blk - 1) // blk
 
     def body(t, acc):
-        ids_acc, part_acc, ra_acc = acc
+        ids_acc, part_acc, ra_acc, cm_acc = acc
         start = jnp.minimum(t * blk, nx - blk)
         rows = jax.lax.dynamic_slice(P_idx, (start, 0), (blk, max_deg))
         vals = jnp.take(RA_pad, rows, axis=0)
@@ -606,6 +606,7 @@ def _knn(RA, ncm, P_idx, ij_i, ij_j, nn: int):
         )
         _, cols = jax.lax.top_k(-dpen, nn)
         ra_sel = jnp.take_along_axis(vals, cols, axis=1)
+        sel_cm = ~jnp.take_along_axis(ncm_rows, cols, axis=1)
         pair_ids = jnp.take_along_axis(rows, cols, axis=1)
         partners = jnp.take(pair_sum, pair_ids) - (
             start + jnp.arange(blk, dtype=jnp.int32)
@@ -618,12 +619,14 @@ def _knn(RA, ncm, P_idx, ij_i, ij_j, nn: int):
             part_acc, partners, (start, 0)
         )
         ra_acc = jax.lax.dynamic_update_slice(ra_acc, ra_sel, (start, 0))
-        return ids_acc, part_acc, ra_acc
+        cm_acc = jax.lax.dynamic_update_slice(cm_acc, sel_cm, (start, 0))
+        return ids_acc, part_acc, ra_acc, cm_acc
 
     ids0 = jnp.zeros((nx, nn), dtype=P_idx.dtype)
     part0 = jnp.zeros((nx, nn), dtype=jnp.int32)
     ra0 = jnp.zeros((nx, nn), dtype=jnp.float32)
-    return jax.lax.fori_loop(0, nblk, body, (ids0, part0, ra0))
+    cm0 = jnp.zeros((nx, nn), dtype=bool)
+    return jax.lax.fori_loop(0, nblk, body, (ids0, part0, ra0, cm0))
 
 
 # ---------------------------------------------------------------------------
@@ -1544,21 +1547,31 @@ class DeviceFitState:
 
     def knn_graph(self, nn):
         """Final k-NN graph; exact distances come from the host float64
-        cache, predicted ones from the downloaded f32 estimates."""
-        self._flush_exacts()
+        cache, predicted ones from the downloaded f32 estimates.
+
+        Deliberately does NOT flush the deferred fused-select batches:
+        per-edge exactness comes from the device ncm gather (`sel_cm`),
+        and a computed edge whose value is still pending host-side uses
+        the downloaded RA estimate — which is bit-identical to what the
+        flush would store (the fused path scatters the same f32 eval
+        into RA it defers for download, and the store merely upcasts
+        it).  At 100k the flush is a several-hundred-MB relay download
+        that graph assembly does not need; consumers that need the
+        values host-side (save/refine/features/enemies) flush on
+        entry."""
         nn = min(int(nn), int(self.P_idx_d.shape[1]))
         if self.shard is not None:
             pair_sum = (self.ij_i + self.ij_j).astype(jnp.int32)
-            pair_ids, partners, ra_sel = self.shard.knn(
+            pair_ids, partners, ra_sel, sel_cm = self.shard.knn(
                 self.RA, self.ncm, self.P_idx_d, pair_sum, nn
             )
         else:
-            pair_ids, partners, ra_sel = _knn(
+            pair_ids, partners, ra_sel, sel_cm = _knn(
                 self.RA, self.ncm, self.P_idx_d, self.ij_i, self.ij_j, nn
             )
-        # one blocking download for all three result arrays
-        pair_ids, partners, ra_sel = jax.device_get(
-            (pair_ids, partners, ra_sel)
+        # one blocking download for all four result arrays
+        pair_ids, partners, ra_sel, sel_cm = jax.device_get(
+            (pair_ids, partners, ra_sel, sel_cm)
         )
         pair_ids = np.asarray(pair_ids, dtype=np.int64)
         ngi = np.asarray(partners, dtype=np.int64)
@@ -1569,11 +1582,11 @@ class DeviceFitState:
             if self.sparse
             else self.exact64[clipped]
         )
-        is_exact = (pair_ids < self.m) & ~np.isnan(exact)
+        is_exact = (pair_ids < self.m) & np.asarray(sel_cm)
         # which reported edges carry exact vs predicted values — the
         # post-fit refine pass certifies the predicted ones first
         self.ng_exact_mask = is_exact
-        ngd = np.where(is_exact, exact, ra_sel)
+        ngd = np.where(is_exact & ~np.isnan(exact), exact, ra_sel)
         return ngi, ngd
 
     # -- device-resident extras (nearest enemies / selective subset) --------

@@ -500,6 +500,7 @@ class ShardedFit:
                 )
                 _, cols = jax.lax.top_k(-dpen, nn)
                 ra_sel = jnp.take_along_axis(vals, cols, axis=1)
+                sel_cm = ~jnp.take_along_axis(ncm_rows, cols, axis=1)
                 pair_ids = jnp.take_along_axis(rows_blk, cols, axis=1)
                 sums = jnp.take(
                     jnp.concatenate(
@@ -510,18 +511,18 @@ class ShardedFit:
                 gl_rows = row0 + jnp.arange(rows_shard, dtype=jnp.int32)
                 partners = sums - gl_rows[:, None]
                 partners = jnp.where(pair_ids < m_real, partners, -1)
-                return pair_ids, partners, ra_sel
+                return pair_ids, partners, ra_sel, sel_cm
 
             specs_p = P(PAIR_AXIS)
             return self._shmap(
                 body,
                 (P(), P(), specs_p, P()),
-                (specs_p, specs_p, specs_p),
+                (specs_p, specs_p, specs_p, specs_p),
             )
 
         fn = self._get(("knn", nn), build)
-        ids, partners, ra = fn(RA, ncm, P_idx, pair_sum)
-        return ids[:nx], partners[:nx], ra[:nx]
+        ids, partners, ra, sel_cm = fn(RA, ncm, P_idx, pair_sum)
+        return ids[:nx], partners[:nx], ra[:nx], sel_cm[:nx]
 
     def enemy_refine(self, RA, ncm, P_idx, pair_sum, y, k: int):
         """Sharded twin of device_pipeline._enemy_refine_select: each

@@ -1,0 +1,180 @@
+"""Stage-level timing of the scale-path bound-tightening kernel.
+
+`_tighten_cols` (ops/device_pipeline.py) runs once per fit iteration
+plus once at finalise; at nx=1e5 / m~47M the fit's stage table bills
+it 14-18 s per call, but the per-iteration barrier drains deferred
+async work into the same line, so this isolates the kernel: a
+synthetic pair state at the real 100k shape, the full kernel, and
+scatter-free variants of its internal stages.
+
+Usage: python benchmarks/profile_tighten.py [--m 47000000 --nx 100000]
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from annchor_tpu.ops import device_pipeline as dp
+
+
+def timed(fn, sync, warmup=1, reps=4):
+    for _ in range(warmup):
+        sync(fn())
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--m", type=int, default=47_000_000)
+    ap.add_argument("--nx", type=int, default=100_000)
+    ap.add_argument("--computed-frac", type=float, default=0.3)
+    ap.add_argument("--ncol", type=int, default=2048)
+    ap.add_argument("--cmax", type=int, default=1 << 23)
+    args = ap.parse_args()
+
+    m, nx = args.m, args.nx
+    rng = np.random.default_rng(0)
+    # synthetic tracked pairs: endpoints uniform, i < j
+    a = rng.integers(0, nx, size=m, dtype=np.int32)
+    b = rng.integers(0, nx - 1, size=m, dtype=np.int32)
+    b = np.where(b >= a, b + 1, b)
+    ij_i = jnp.asarray(np.minimum(a, b))
+    ij_j = jnp.asarray(np.maximum(a, b))
+    del a, b
+    RA = jnp.asarray(rng.random(m, dtype=np.float32) * 100.0)
+    ncm = jnp.asarray(rng.random(m) > args.computed_frac)
+    lb = RA * 0.5
+    ub = RA * 1.5
+    thresh = jnp.asarray(
+        rng.random(nx, dtype=np.float32) * 60.0 + 20.0
+    )
+
+    results = {}
+
+    def rec(stage, best):
+        results[stage] = best
+        print(json.dumps({"stage": stage, "best_s": round(best, 4)}),
+              flush=True)
+
+    ncol = min(args.ncol, nx)
+    cmax = int(min(args.cmax, m))
+
+    # full kernel
+    rec("tighten_cols_full", timed(
+        lambda: dp._tighten_cols(
+            ij_i, ij_j, RA, ncm, lb, ub, thresh, ncol, cmax
+        ),
+        lambda r: np.asarray(r[0][:1]),
+        warmup=1, reps=3,
+    ))
+
+    # internal stages, re-created standalone ------------------------------
+    w = (~ncm).astype(jnp.int32)
+
+    @jax.jit
+    def deg_scatter():
+        deg = jnp.zeros(nx, dtype=jnp.int32)
+        deg = deg.at[ij_i].add(w, mode="drop")
+        return deg.at[ij_j].add(w, mode="drop")
+
+    rec("deg_scatter", timed(
+        lambda: deg_scatter(), lambda r: np.asarray(r[:1])
+    ))
+    deg = deg_scatter()
+    _, cols_ids = jax.lax.top_k(deg, ncol)
+    col_of = jnp.full(nx, -1, dtype=jnp.int32).at[cols_ids].set(
+        jnp.arange(ncol, dtype=jnp.int32)
+    )
+
+    @jax.jit
+    def ev_scatter():
+        okv = ~ncm
+        ci = jnp.take(col_of, ij_i)
+        cj = jnp.take(col_of, ij_j)
+        ci = jnp.where(okv & (ci >= 0), ci, ncol)
+        cj = jnp.where(okv & (cj >= 0), cj, ncol)
+        E = jnp.zeros((nx, ncol), dtype=jnp.float32)
+        V = jnp.zeros((nx, ncol), dtype=bool)
+        E = E.at[ij_j, ci].set(RA, mode="drop")
+        E = E.at[ij_i, cj].set(RA, mode="drop")
+        V = V.at[ij_j, ci].set(True, mode="drop")
+        V = V.at[ij_i, cj].set(True, mode="drop")
+        return E, V
+
+    rec("EV_scatter", timed(
+        lambda: ev_scatter(), lambda r: np.asarray(r[0][:1, :1])
+    ))
+    E, V = ev_scatter()
+
+    @jax.jit
+    def contender_ids():
+        cap = jnp.maximum(jnp.take(thresh, ij_i), jnp.take(thresh, ij_j))
+        cont = ncm & (lb < cap)
+        return jnp.nonzero(cont, size=cmax, fill_value=m)[0].astype(
+            jnp.int32
+        )
+
+    rec("contender_nonzero", timed(
+        lambda: contender_ids(), lambda r: np.asarray(r[:1])
+    ))
+    ids = contender_ids()
+
+    chunk = 65536
+    nchunks = (cmax + chunk - 1) // chunk
+    ids_pad = jnp.pad(ids, (0, nchunks * chunk - cmax),
+                      constant_values=m)
+    ij_i_pad = jnp.concatenate([ij_i, jnp.zeros(1, ij_i.dtype)])
+    ij_j_pad = jnp.concatenate([ij_j, jnp.zeros(1, ij_j.dtype)])
+    lb_pad = jnp.concatenate([lb, jnp.zeros(1, lb.dtype)])
+    ub_pad = jnp.concatenate([ub, jnp.full(1, np.inf, ub.dtype)])
+
+    @jax.jit
+    def gather_loop():
+        def body(t, state):
+            lb_acc, ub_acc = state
+            sel = jax.lax.dynamic_slice(ids_pad, (t * chunk,), (chunk,))
+            gi = jnp.take(ij_i_pad, sel)
+            gj = jnp.take(ij_j_pad, sel)
+            Ei = jnp.take(E, gi, axis=0)
+            Ej = jnp.take(E, gj, axis=0)
+            Vi = jnp.take(V, gi, axis=0)
+            Vj = jnp.take(V, gj, axis=0)
+            both = Vi & Vj
+            Ei = jnp.where(Vi, Ei, np.float32(np.inf))
+            Ej = jnp.where(Vj, Ej, np.float32(np.inf))
+            lb_new = jnp.max(
+                jnp.where(both, jnp.abs(Ei - Ej), 0.0), axis=1
+            )
+            ub_new = jnp.min(Ei + Ej, axis=1)
+            lb_acc = lb_acc.at[sel].max(lb_new, mode="drop")
+            ub_acc = ub_acc.at[sel].min(ub_new, mode="drop")
+            return lb_acc, ub_acc
+
+        return jax.lax.fori_loop(
+            0, nchunks, body, (lb_pad, ub_pad)
+        )
+
+    rec("contender_gather_loop", timed(
+        lambda: gather_loop(), lambda r: np.asarray(r[0][:1]),
+        warmup=1, reps=3,
+    ))
+
+    print(json.dumps({
+        "metric": "tighten_profile", "m": m, "nx": nx,
+        "ncol": ncol, "cmax": cmax,
+        "stages": {k: round(v, 4) for k, v in results.items()},
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
