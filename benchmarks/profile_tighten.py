@@ -78,26 +78,29 @@ def main():
         warmup=1, reps=3,
     ))
 
-    # internal stages, re-created standalone ------------------------------
+    # internal stages, re-created standalone (arrays passed as args so
+    # they are jit parameters, not baked program constants — captured
+    # device arrays blow the remote-compile request past its size cap)
     w = (~ncm).astype(jnp.int32)
 
     @jax.jit
-    def deg_scatter():
+    def deg_scatter(ij_i, ij_j, w):
         deg = jnp.zeros(nx, dtype=jnp.int32)
         deg = deg.at[ij_i].add(w, mode="drop")
         return deg.at[ij_j].add(w, mode="drop")
 
     rec("deg_scatter", timed(
-        lambda: deg_scatter(), lambda r: np.asarray(r[:1])
+        lambda: deg_scatter(ij_i, ij_j, w),
+        lambda r: np.asarray(r[:1]),
     ))
-    deg = deg_scatter()
+    deg = deg_scatter(ij_i, ij_j, w)
     _, cols_ids = jax.lax.top_k(deg, ncol)
     col_of = jnp.full(nx, -1, dtype=jnp.int32).at[cols_ids].set(
         jnp.arange(ncol, dtype=jnp.int32)
     )
 
     @jax.jit
-    def ev_scatter():
+    def ev_scatter(ij_i, ij_j, RA, ncm, col_of):
         okv = ~ncm
         ci = jnp.take(col_of, ij_i)
         cj = jnp.take(col_of, ij_j)
@@ -112,12 +115,13 @@ def main():
         return E, V
 
     rec("EV_scatter", timed(
-        lambda: ev_scatter(), lambda r: np.asarray(r[0][:1, :1])
+        lambda: ev_scatter(ij_i, ij_j, RA, ncm, col_of),
+        lambda r: np.asarray(r[0][:1, :1]),
     ))
-    E, V = ev_scatter()
+    E, V = ev_scatter(ij_i, ij_j, RA, ncm, col_of)
 
     @jax.jit
-    def contender_ids():
+    def contender_ids(ij_i, ij_j, ncm, lb, thresh):
         cap = jnp.maximum(jnp.take(thresh, ij_i), jnp.take(thresh, ij_j))
         cont = ncm & (lb < cap)
         return jnp.nonzero(cont, size=cmax, fill_value=m)[0].astype(
@@ -125,9 +129,10 @@ def main():
         )
 
     rec("contender_nonzero", timed(
-        lambda: contender_ids(), lambda r: np.asarray(r[:1])
+        lambda: contender_ids(ij_i, ij_j, ncm, lb, thresh),
+        lambda r: np.asarray(r[:1]),
     ))
-    ids = contender_ids()
+    ids = contender_ids(ij_i, ij_j, ncm, lb, thresh)
 
     chunk = 65536
     nchunks = (cmax + chunk - 1) // chunk
@@ -139,7 +144,7 @@ def main():
     ub_pad = jnp.concatenate([ub, jnp.full(1, np.inf, ub.dtype)])
 
     @jax.jit
-    def gather_loop():
+    def gather_loop(ids_pad, ij_i_pad, ij_j_pad, E, V, lb_pad, ub_pad):
         def body(t, state):
             lb_acc, ub_acc = state
             sel = jax.lax.dynamic_slice(ids_pad, (t * chunk,), (chunk,))
@@ -165,9 +170,79 @@ def main():
         )
 
     rec("contender_gather_loop", timed(
-        lambda: gather_loop(), lambda r: np.asarray(r[0][:1]),
+        lambda: gather_loop(
+            ids_pad, ij_i_pad, ij_j_pad, E, V, lb_pad, ub_pad
+        ),
+        lambda r: np.asarray(r[0][:1]),
         warmup=1, reps=3,
     ))
+
+    # ---- candidate fixes ---------------------------------------------
+    # (a) EV built from the column points' incidence rows: ncol*max_deg
+    #     updates instead of 2*m
+    from annchor_tpu.ops.device_pipeline import _pidx_from_pairs
+
+    P_cnt = np.bincount(np.asarray(ij_i), minlength=nx) + np.bincount(
+        np.asarray(ij_j), minlength=nx
+    )
+    max_deg = int(P_cnt.max())
+    P_idx = _pidx_from_pairs(ij_i, ij_j, nx, max_deg)
+    print(json.dumps({"max_deg": max_deg}), flush=True)
+
+    @jax.jit
+    def ev_incidence(P_idx, cols_ids, ij_i, ij_j, RA, ncm):
+        RA_pad = jnp.concatenate([RA, jnp.zeros(1, RA.dtype)])
+        ncm_pad = jnp.concatenate([ncm, jnp.array([True])])
+        ps_pad = jnp.concatenate(
+            [(ij_i + ij_j).astype(jnp.int32), jnp.zeros(1, jnp.int32)]
+        )
+        rows = jnp.take(P_idx, cols_ids, axis=0)  # (ncol, deg)
+        good = (rows < m) & ~jnp.take(ncm_pad, rows)
+        val = jnp.take(RA_pad, rows)
+        partner = jnp.take(ps_pad, rows) - cols_ids[:, None]
+        d_pos = jnp.arange(rows.shape[1], dtype=jnp.int32)[None, :]
+        row_idx = jnp.where(good, partner, nx + d_pos)
+        c_idx = jnp.broadcast_to(
+            jnp.arange(ncol, dtype=jnp.int32)[:, None], rows.shape
+        )
+        E = jnp.zeros((nx, ncol), jnp.float32).at[row_idx, c_idx].set(
+            jnp.where(good, val, 0.0), mode="drop", unique_indices=True
+        )
+        V = jnp.zeros((nx, ncol), bool).at[row_idx, c_idx].set(
+            good, mode="drop", unique_indices=True
+        )
+        return E, V
+
+    rec("EV_incidence", timed(
+        lambda: ev_incidence(P_idx, cols_ids, ij_i, ij_j, RA, ncm),
+        lambda r: np.asarray(r[0][:1, :1]),
+    ))
+    E2, V2 = ev_incidence(P_idx, cols_ids, ij_i, ij_j, RA, ncm)
+    same = bool(
+        jnp.array_equal(E2, E) & jnp.array_equal(V2, V)
+    )
+    print(json.dumps({"EV_incidence_equal": same}), flush=True)
+
+    # (b) contender extraction as one sorted scatter-max
+    @jax.jit
+    def contender_sorted(ij_i, ij_j, ncm, lb, thresh):
+        cap = jnp.maximum(jnp.take(thresh, ij_i), jnp.take(thresh, ij_j))
+        cont = ncm & (lb < cap)
+        pos = jnp.cumsum(cont.astype(jnp.int32)) - 1
+        src = jnp.where(cont, jnp.arange(m, dtype=jnp.int32), -1)
+        out = jnp.full(cmax, -1, jnp.int32).at[pos].max(
+            src, mode="drop", indices_are_sorted=True
+        )
+        return jnp.where(out >= 0, out, m)
+
+    rec("contender_sorted_scatter", timed(
+        lambda: contender_sorted(ij_i, ij_j, ncm, lb, thresh),
+        lambda r: np.asarray(r[:1]),
+    ))
+    ids2 = contender_sorted(ij_i, ij_j, ncm, lb, thresh)
+    print(json.dumps({
+        "contender_equal": bool(jnp.array_equal(ids2, ids))
+    }), flush=True)
 
     print(json.dumps({
         "metric": "tighten_profile", "m": m, "nx": nx,
