@@ -305,7 +305,7 @@ PIDX_BUDGET_ELEMS = 1 << 29
 @functools.partial(jax.jit, static_argnames=("ncol", "cmax", "chunk"))
 def _tighten_cols(
     ij_i, ij_j, RA, ncm, lb, ub, thresh,
-    ncol: int, cmax: int, chunk: int = 65536,
+    ncol: int, cmax: int, chunk: int = 65536, P_idx=None,
 ):
     # chunk * ncol f32 gathers are the live working set: 0.5 GB per
     # operand at the defaults — 4x that OOMed alongside the resident
@@ -317,7 +317,18 @@ def _tighten_cols(
     highest-computed-degree points (any column subset yields valid
     bounds), and the per-pair update runs over at most `cmax`
     *contender* pairs (uncomputed, lower bound under the endpoint
-    threshold cap) in in-program chunks."""
+    threshold cap) in in-program chunks.
+
+    Scatters are the TPU's weak op (~10^8 updates/s measured), so the
+    panel build avoids per-pair scatters when it can: with an UNCAPPED
+    incidence matrix `P_idx`, the ncol column points' incidence rows
+    enumerate exactly the pairs that land in the panel (ncol*max_deg
+    updates ~= 3.5M instead of 2*m ~= 94M; measured 0.14 s vs 2.40 s
+    at the 100k/47M shape).  A degree-capped P_idx drops hub pairs, so
+    callers must pass P_idx=None then (the pair-scatter build).  The
+    validity mask is folded into the panel as +inf entries, halving
+    the contender-chunk gather traffic, and contender extraction is a
+    cumsum + monotone scatter-max rather than flatnonzero."""
     nx = thresh.shape[0]
     m = RA.shape[0]
 
@@ -327,33 +338,61 @@ def _tighten_cols(
     deg = deg.at[ij_i].add(w, mode="drop")
     deg = deg.at[ij_j].add(w, mode="drop")
     _, cols_ids = jax.lax.top_k(deg, ncol)
-    col_of = jnp.full(nx, -1, dtype=jnp.int32).at[cols_ids].set(
-        jnp.arange(ncol, dtype=jnp.int32)
-    )
 
-    # E (nx, ncol): computed distances into the column subset
-    # entries that must not land (uncomputed pair, or endpoint not a
-    # column) are routed to index ncol, which mode="drop" discards
-    # (writing masked values instead would clobber real entries)
-    okv = ~ncm
-    ci = jnp.take(col_of, ij_i)
-    cj = jnp.take(col_of, ij_j)
-    ci = jnp.where(okv & (ci >= 0), ci, ncol)
-    cj = jnp.where(okv & (cj >= 0), cj, ncol)
-    E = jnp.zeros((nx, ncol), dtype=jnp.float32)
-    V = jnp.zeros((nx, ncol), dtype=bool)
-    E = E.at[ij_j, ci].set(RA, mode="drop")
-    E = E.at[ij_i, cj].set(RA, mode="drop")
-    V = V.at[ij_j, ci].set(True, mode="drop")
-    V = V.at[ij_i, cj].set(True, mode="drop")
-    # the inf/zero-masked variants are derived inside each chunk from
-    # (E, V) gathers — materialising them as full (nx, ncol) arrays
-    # costs 2 more resident copies, which OOMs at nx = 1e5
+    # E (nx, ncol): computed distances into the column subset;
+    # entries that are absent (uncomputed pair, or endpoint not a
+    # column) read +inf
+    if P_idx is None:
+        col_of = jnp.full(nx, -1, dtype=jnp.int32).at[cols_ids].set(
+            jnp.arange(ncol, dtype=jnp.int32)
+        )
+        # entries that must not land are routed to column index ncol,
+        # which mode="drop" discards (writing masked values instead
+        # would clobber real entries)
+        okv = ~ncm
+        ci = jnp.take(col_of, ij_i)
+        cj = jnp.take(col_of, ij_j)
+        ci = jnp.where(okv & (ci >= 0), ci, ncol)
+        cj = jnp.where(okv & (cj >= 0), cj, ncol)
+        E = jnp.full((nx, ncol), F32_INF, dtype=jnp.float32)
+        E = E.at[ij_j, ci].set(RA, mode="drop")
+        E = E.at[ij_i, cj].set(RA, mode="drop")
+    else:
+        # incidence-row build: P_idx[c] lists every tracked pair at
+        # column point c (pad sentinel = m); the partner endpoint is
+        # (i + j) - c.  Tracked pairs are unique, so target slots are
+        # unique; masked entries are routed out of bounds and dropped.
+        RA_pad = jnp.concatenate([RA, jnp.zeros(1, RA.dtype)])
+        ncm_pad = jnp.concatenate([ncm, jnp.ones(1, dtype=bool)])
+        ps_pad = jnp.concatenate(
+            [(ij_i + ij_j).astype(jnp.int32), jnp.zeros(1, jnp.int32)]
+        )
+        rows = jnp.take(P_idx, cols_ids, axis=0)  # (ncol, max_deg)
+        good = (rows < m) & ~jnp.take(ncm_pad, rows)
+        val = jnp.take(RA_pad, rows)
+        partner = jnp.take(ps_pad, rows) - cols_ids[:, None]
+        d_pos = jnp.arange(rows.shape[1], dtype=jnp.int32)[None, :]
+        row_idx = jnp.where(good, partner, nx + d_pos)
+        c_idx = jnp.broadcast_to(
+            jnp.arange(ncol, dtype=jnp.int32)[:, None], rows.shape
+        )
+        E = jnp.full((nx, ncol), F32_INF, jnp.float32).at[
+            row_idx, c_idx
+        ].set(
+            jnp.where(good, val, 0.0), mode="drop", unique_indices=True
+        )
 
-    # contender pair ids (padded with m = sentinel)
+    # contender pair ids (padded with m = sentinel): positions are the
+    # running count of contenders, so the scatter indices are sorted
+    # and duplicates (runs of non-contenders, src = -1) max-reduce away
     cap = jnp.maximum(jnp.take(thresh, ij_i), jnp.take(thresh, ij_j))
     cont = ncm & (lb < cap)
-    ids = jnp.nonzero(cont, size=cmax, fill_value=m)[0].astype(jnp.int32)
+    pos = jnp.cumsum(cont.astype(jnp.int32)) - 1
+    src = jnp.where(cont, jnp.arange(m, dtype=jnp.int32), -1)
+    ids = jnp.full(cmax, -1, jnp.int32).at[pos].max(
+        src, mode="drop", indices_are_sorted=True
+    )
+    ids = jnp.where(ids >= 0, ids, m)
 
     ij_i_pad = jnp.concatenate([ij_i, jnp.zeros(1, ij_i.dtype)])
     ij_j_pad = jnp.concatenate([ij_j, jnp.zeros(1, ij_j.dtype)])
@@ -370,11 +409,7 @@ def _tighten_cols(
         gj = jnp.take(ij_j_pad, sel)
         Ei = jnp.take(E, gi, axis=0)
         Ej = jnp.take(E, gj, axis=0)
-        Vi = jnp.take(V, gi, axis=0)
-        Vj = jnp.take(V, gj, axis=0)
-        both = Vi & Vj
-        Ei = jnp.where(Vi, Ei, F32_INF)
-        Ej = jnp.where(Vj, Ej, F32_INF)
+        both = (Ei < F32_INF) & (Ej < F32_INF)
         lb_new = jnp.max(
             jnp.where(both, jnp.abs(Ei - Ej), 0.0), axis=1
         )
@@ -1024,6 +1059,10 @@ class DeviceFitState:
             jax.block_until_ready((self.lb, self.ub, self.dad))
         _tick("features init")
 
+        # conservative default: only _rebuild_pidx (the scale path,
+        # where tighten_cols runs) certifies its matrix for the
+        # incidence-based tighten panel build
+        self._pidx_capped = True
         if self.m == nx * (nx - 1) // 2 and not self.sparse:
             # all-pairs candidate set: build the incidence matrix on
             # device from its closed form instead of uploading it
@@ -1522,11 +1561,18 @@ class DeviceFitState:
                 int(min(self.TIGHTEN_CMAX, self.m)),
             )
         else:
+            # an uncapped incidence matrix lets the panel build gather
+            # the column points' rows (ncol*max_deg updates) instead
+            # of scattering every pair twice (17x measured at 100k)
+            pidx = None if getattr(self, "_pidx_capped", True) else (
+                self.P_idx_d
+            )
             self.lb, self.ub = _tighten_cols(
                 self.ij_i, self.ij_j, self.RA, self.ncm,
                 self.lb, self.ub, self.thresh,
                 min(self.TIGHTEN_NCOL, nx),
                 int(min(self.TIGHTEN_CMAX, self.m)),
+                P_idx=pidx,
             )
         if self.sparse:
             # per-iteration barrier: without it the host races ahead
@@ -1622,6 +1668,10 @@ class DeviceFitState:
         )
         cap = max(2 * ann.n_neighbors, budget // max(nx, 1))
         deg = cap if max_deg > cap else max_deg
+        # a capped incidence matrix drops hub pairs, so it cannot feed
+        # the tighten panel build (which must see EVERY computed pair
+        # at a column point); tighten() falls back to pair scatters
+        self._pidx_capped = bool(max_deg > cap)
         if self.shard is not None:
             self.P_idx_d = self.shard.build_pidx(
                 bij_i, bij_j, self.lb, nx, deg, max_deg > cap

@@ -766,6 +766,10 @@ class ShardedFit:
                 V = V.at[ij_i, cj].set(1.0, mode="drop")
                 E = jax.lax.psum(E, PAIR_AXIS)
                 V = jax.lax.psum(V, PAIR_AXIS) > 0
+                # validity folded into the panel as +inf entries: the
+                # chunk loop then gathers one f32 panel instead of
+                # panel + mask (bit-identical bounds)
+                E = jnp.where(V, E, F32_INF)
 
                 cap = jnp.maximum(
                     jnp.take(thresh, jnp.clip(ij_i, 0, nx - 1)),
@@ -797,11 +801,7 @@ class ShardedFit:
                     gj = jnp.take(jjp, sel)
                     Ei = jnp.take(E, jnp.clip(gi, 0, nx - 1), axis=0)
                     Ej = jnp.take(E, jnp.clip(gj, 0, nx - 1), axis=0)
-                    Vi = jnp.take(V, jnp.clip(gi, 0, nx - 1), axis=0)
-                    Vj = jnp.take(V, jnp.clip(gj, 0, nx - 1), axis=0)
-                    both = Vi & Vj
-                    Ei = jnp.where(Vi, Ei, F32_INF)
-                    Ej = jnp.where(Vj, Ej, F32_INF)
+                    both = (Ei < F32_INF) & (Ej < F32_INF)
                     lb_new = jnp.max(
                         jnp.where(both, jnp.abs(Ei - Ej), 0.0), axis=1
                     )

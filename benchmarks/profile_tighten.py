@@ -44,13 +44,19 @@ def main():
 
     m, nx = args.m, args.nx
     rng = np.random.default_rng(0)
-    # synthetic tracked pairs: endpoints uniform, i < j
-    a = rng.integers(0, nx, size=m, dtype=np.int32)
-    b = rng.integers(0, nx - 1, size=m, dtype=np.int32)
+    # synthetic tracked pairs: endpoints uniform, i < j, UNIQUE —
+    # real tracked pair lists never repeat an (i, j), and duplicate
+    # pairs make both panel builds scatter-order-dependent
+    a = rng.integers(0, nx, size=int(m * 1.02) + 1024, dtype=np.int64)
+    b = rng.integers(0, nx - 1, size=a.shape[0], dtype=np.int64)
     b = np.where(b >= a, b + 1, b)
-    ij_i = jnp.asarray(np.minimum(a, b))
-    ij_j = jnp.asarray(np.maximum(a, b))
-    del a, b
+    key = np.unique(np.minimum(a, b) * nx + np.maximum(a, b))
+    rng.shuffle(key)
+    key = key[:m]
+    assert key.shape[0] == m, "raise the oversample factor"
+    ij_i = jnp.asarray((key // nx).astype(np.int32))
+    ij_j = jnp.asarray((key % nx).astype(np.int32))
+    del a, b, key
     RA = jnp.asarray(rng.random(m, dtype=np.float32) * 100.0)
     ncm = jnp.asarray(rng.random(m) > args.computed_frac)
     lb = RA * 0.5
@@ -243,6 +249,69 @@ def main():
     print(json.dumps({
         "contender_equal": bool(jnp.array_equal(ids2, ids))
     }), flush=True)
+
+    # full kernel again, on the incidence fast path
+    rec("tighten_cols_full_pidx", timed(
+        lambda: dp._tighten_cols(
+            ij_i, ij_j, RA, ncm, lb, ub, thresh, ncol, cmax,
+            P_idx=P_idx,
+        ),
+        lambda r: np.asarray(r[0][:1]),
+        warmup=1, reps=3,
+    ))
+    ref_full = dp._tighten_cols(
+        ij_i, ij_j, RA, ncm, lb, ub, thresh, ncol, cmax
+    )
+    new_full = dp._tighten_cols(
+        ij_i, ij_j, RA, ncm, lb, ub, thresh, ncol, cmax, P_idx=P_idx
+    )
+    print(json.dumps({"tighten_pidx_equal": bool(
+        jnp.array_equal(ref_full[0], new_full[0])
+        & jnp.array_equal(ref_full[1], new_full[1])
+    )}), flush=True)
+
+    # (c) gather loop over a single inf-encoded panel: V folded into E
+    #     as +inf entries — halves the per-chunk gather traffic
+    E_inf = jnp.where(V, E, np.float32(np.inf))
+
+    @jax.jit
+    def gather_loop_einf(ids_pad, ij_i_pad, ij_j_pad, E_inf,
+                         lb_pad, ub_pad):
+        def body(t, state):
+            lb_acc, ub_acc = state
+            sel = jax.lax.dynamic_slice(ids_pad, (t * chunk,), (chunk,))
+            gi = jnp.take(ij_i_pad, sel)
+            gj = jnp.take(ij_j_pad, sel)
+            Ei = jnp.take(E_inf, gi, axis=0)
+            Ej = jnp.take(E_inf, gj, axis=0)
+            both = (Ei < np.float32(np.inf)) & (Ej < np.float32(np.inf))
+            lb_new = jnp.max(
+                jnp.where(both, jnp.abs(Ei - Ej), 0.0), axis=1
+            )
+            ub_new = jnp.min(Ei + Ej, axis=1)
+            lb_acc = lb_acc.at[sel].max(lb_new, mode="drop")
+            ub_acc = ub_acc.at[sel].min(ub_new, mode="drop")
+            return lb_acc, ub_acc
+
+        return jax.lax.fori_loop(
+            0, nchunks, body, (lb_pad, ub_pad)
+        )
+
+    rec("contender_gather_loop_einf", timed(
+        lambda: gather_loop_einf(
+            ids_pad, ij_i_pad, ij_j_pad, E_inf, lb_pad, ub_pad
+        ),
+        lambda r: np.asarray(r[0][:1]),
+        warmup=1, reps=3,
+    ))
+    r_ref = gather_loop(ids_pad, ij_i_pad, ij_j_pad, E, V,
+                        lb_pad, ub_pad)
+    r_new = gather_loop_einf(ids_pad, ij_i_pad, ij_j_pad, E_inf,
+                             lb_pad, ub_pad)
+    print(json.dumps({"gather_einf_equal": bool(
+        jnp.array_equal(r_new[0], r_ref[0])
+        & jnp.array_equal(r_new[1], r_ref[1])
+    )}), flush=True)
 
     print(json.dumps({
         "metric": "tighten_profile", "m": m, "nx": nx,

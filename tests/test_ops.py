@@ -286,3 +286,47 @@ def test_batch_dev_chunking_matches_unchunked():
     host = lev(Xl, Xl, np.stack([Il, Jl], axis=1).astype(np.int64))
     np.testing.assert_array_equal(one, many)
     np.testing.assert_array_equal(many.astype(np.float64), host)
+
+
+def test_tighten_cols_incidence_matches_pair_scatter(rng):
+    """The incidence-row panel build (P_idx passed) must be
+    BIT-identical to the pair-scatter build: same columns, same panel
+    entries, same contender re-bounding.  The scale path switches
+    between them on the P_idx degree cap (device_pipeline.tighten)."""
+    import jax.numpy as jnp
+
+    from annchor_tpu.ops.device_pipeline import (
+        _pidx_from_pairs, _tighten_cols,
+    )
+
+    nx, m = 500, 6000
+    # unique random pairs, i < j (tracked pair lists never repeat)
+    key = rng.choice(nx * nx, size=4 * m, replace=False)
+    a, b = key // nx, key % nx
+    keep = a < b
+    a, b = a[keep][:m], b[keep][:m]
+    m = a.shape[0]
+    ij_i = jnp.asarray(a.astype(np.int32))
+    ij_j = jnp.asarray(b.astype(np.int32))
+    RA = jnp.asarray(rng.random(m).astype(np.float32) * 50.0)
+    ncm = jnp.asarray(rng.random(m) > 0.4)
+    lb = RA * 0.4
+    ub = RA * 1.6
+    thresh = jnp.asarray(
+        (rng.random(nx) * 30.0 + 10.0).astype(np.float32)
+    )
+    max_deg = int(
+        (np.bincount(a, minlength=nx) + np.bincount(b, minlength=nx))
+        .max()
+    )
+    P_idx = _pidx_from_pairs(ij_i, ij_j, nx, max_deg)
+
+    args = (ij_i, ij_j, RA, ncm, lb, ub, thresh)
+    lb0, ub0 = _tighten_cols(*args, ncol=64, cmax=2048, chunk=512)
+    lb1, ub1 = _tighten_cols(
+        *args, ncol=64, cmax=2048, chunk=512, P_idx=P_idx
+    )
+    assert np.array_equal(np.asarray(lb0), np.asarray(lb1))
+    assert np.array_equal(np.asarray(ub0), np.asarray(ub1))
+    # the run actually tightened something (not vacuous)
+    assert (np.asarray(ub0) < np.asarray(ub) - 1e-6).any()
