@@ -9,6 +9,7 @@ multi-chip sharding of the pair pipeline.
 
 from annchor_tpu.annchor import Annchor, BruteForce, compare_neighbor_graphs
 from annchor_tpu.error_predictors import SimpleStratifiedErrorRegression
+from annchor_tpu.exact import exact_knn, exact_query_rows, exact_rows
 from annchor_tpu.graph_sp import GraphShortestPathMetric
 from annchor_tpu.metrics import Metric, get_function_from_input
 from annchor_tpu.pickers import (
@@ -44,4 +45,7 @@ __all__ = [
     "NothingToSample",
     "SimpleStratifiedLinearRegression",
     "SimpleStratifiedErrorRegression",
+    "exact_knn",
+    "exact_rows",
+    "exact_query_rows",
 ]

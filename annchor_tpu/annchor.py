@@ -106,6 +106,9 @@ class Annchor:
         trace_dir=None,
         refine_frac=0.0,
         refine_rounds=3,
+        pair_cap=None,
+        pair_cap_factor=None,
+        max_resident_pairs=None,
     ):
         self.X = X
         self.nx = len(X)
@@ -163,6 +166,20 @@ class Annchor:
         # redirected at the near-misses the in-fit ranking leaves)
         self.refine_frac = float(np.clip(refine_frac, 0.0, 0.9))
         self.refine_rounds = int(refine_rounds)
+        # scale-path pair-budget knobs (SCALE.md): explicit per-point
+        # candidate cap, derived-cap factor (cap = max(4*nn,
+        # factor * p_work * nx * mesh)), and the resident-pair bound
+        # past which non-metric fits auto-switch to the budgeted
+        # build.  Constructor kwargs are the config system (reference
+        # annchor.py:92-115); the ANNCHOR_TPU_* env vars of the same
+        # names remain available as overrides for sweeps.
+        self.pair_cap = None if pair_cap is None else int(pair_cap)
+        self.pair_cap_factor = (
+            None if pair_cap_factor is None else float(pair_cap_factor)
+        )
+        self.max_resident_pairs = (
+            None if max_resident_pairs is None else int(max_resident_pairs)
+        )
         self.trace_dir = trace_dir
 
         self._features = None
@@ -420,7 +437,9 @@ class Annchor:
             # the two-pass streaming build bounds resident pairs by the
             # budgeted set, lifting the single-chip HBM wall that caps
             # coverage at nx ~ 10^5 (SCALE.md).
-            pair_cap = int(os.environ.get("ANNCHOR_TPU_PAIR_CAP", "0"))
+            pair_cap = int(
+                os.environ.get("ANNCHOR_TPU_PAIR_CAP", "0")
+            ) or (self.pair_cap or 0)
             if pair_cap > 0:
                 from annchor_tpu.ops.locality import (
                     candidate_pairs_device_budgeted,
@@ -450,14 +469,11 @@ class Annchor:
                     candidate_pairs_device_budgeted,
                 )
 
-                cap_f = float(
-                    os.environ.get("ANNCHOR_TPU_PAIR_CAP_FACTOR", "0.7")
-                )
                 auto_cap = max(
                     4 * self.n_neighbors,
                     int(
                         round(
-                            cap_f
+                            self._pair_cap_factor()
                             * self._p_work_fit
                             * self.nx
                             * self._mesh_scale()
@@ -477,19 +493,17 @@ class Annchor:
                 # counting pass still falls back to the budgeted
                 # build when the admitted set would OOM the fit's
                 # O(m) device state
+                env_res = os.environ.get("ANNCHOR_TPU_MAX_RESIDENT_PAIRS")
                 max_res = int(
-                    os.environ.get(
-                        "ANNCHOR_TPU_MAX_RESIDENT_PAIRS", str(10**8)
-                    )
-                )
-                cap_f = float(
-                    os.environ.get("ANNCHOR_TPU_PAIR_CAP_FACTOR", "0.7")
+                    env_res
+                    if env_res is not None
+                    else (self.max_resident_pairs or 10**8)
                 )
                 auto_cap = max(
                     4 * self.n_neighbors,
                     int(
                         round(
-                            cap_f
+                            self._pair_cap_factor()
                             * self._p_work_fit
                             * self.nx
                             * self._mesh_scale()
@@ -530,6 +544,12 @@ class Annchor:
                 "Error: Not enough candidates in pool for all indices.\n"
                 + "Try again with higher locality."
             )
+
+    def _pair_cap_factor(self) -> float:
+        env = os.environ.get("ANNCHOR_TPU_PAIR_CAP_FACTOR")
+        if env is not None:
+            return float(env)
+        return 0.7 if self.pair_cap_factor is None else self.pair_cap_factor
 
     def _mesh_scale(self) -> int:
         """Device count the fit state will shard over (1 single-chip).

@@ -13,6 +13,8 @@ reference's `get_exact_ijs(f, X, IJ)` plug-in contract
 
 from __future__ import annotations
 
+import atexit
+
 import numpy as np
 
 from annchor_tpu.ops import levenshtein as _lev_ops
@@ -574,6 +576,17 @@ def get_function_from_input(func, func_kwargs=None):
 _EXECUTORS = {}
 
 
+def _shutdown_executors():
+    """atexit hook: process pools otherwise leak worker handles across
+    fits and can hold the interpreter open at shutdown."""
+    for pool in _EXECUTORS.values():
+        pool.shutdown(wait=False, cancel_futures=True)
+    _EXECUTORS.clear()
+
+
+atexit.register(_shutdown_executors)
+
+
 def _executor(backend: str):
     """Shared worker pool per backend (the reference keeps joblib's
     loky pool alive across calls for the same reason,
@@ -631,13 +644,18 @@ def _fanout_scalar(f, X, Z, IJ, backend, verbose=False):
         xs = [X[i] for i in blk[:, 0]]
         zs = [Z[j] for j in blk[:, 1]]
         jobs.append(pool.submit(_chunk_eval, (f, xs, zs)))
+    # per-chunk deadline scales with the work: a legitimately slow user
+    # metric (reference workloads run to ~10 ms/call; allow 100x that)
+    # must not be abandoned into the serial fallback, which would
+    # double the work — the timeout only catches hung/dead workers
+    deadline = max(60.0, 1.0 * nchunk)
     try:
         out = [
             v
             for job in progress(
                 jobs, "metric chunks", verbose and len(jobs) > 1
             )
-            for v in job.result(timeout=60)
+            for v in job.result(timeout=deadline)
         ]
     except Exception:
         # unpicklable closure under a process backend, worker death,

@@ -117,38 +117,40 @@ def build_peq(ids: np.ndarray, lengths: np.ndarray, alphabet: int):
 
 
 def _shift1(x, fill_bit):
-    """Multi-word left-shift by one bit along the word axis (axis 1).
+    """Multi-word left-shift by one bit along the word axis (the LAST
+    axis; (B, W) pair batches and (S, n, W) column blocks both work).
 
     fill_bit: uint32 0/1 scalar or (B, 1) shifted into word 0's LSB.
     """
     carry = jnp.concatenate(
         [
             jnp.broadcast_to(
-                jnp.asarray(fill_bit, jnp.uint32), (x.shape[0], 1)
+                jnp.asarray(fill_bit, jnp.uint32), x.shape[:-1] + (1,)
             ),
-            x[:, :-1] >> 31,
+            x[..., :-1] >> 31,
         ],
-        axis=1,
+        axis=-1,
     )
     return (x << 1) | carry
 
 
 def _add_with_carry(x, y):
-    """Multi-word unsigned addition x + y over the word axis with
-    Kogge–Stone carry propagation."""
+    """Multi-word unsigned addition x + y over the (last) word axis
+    with Kogge–Stone carry propagation."""
     s = x + y
     g = (s < x).astype(jnp.uint32)  # generate
     p = (s == UFULL).astype(jnp.uint32)  # propagate
-    W = s.shape[1]
+    W = s.shape[-1]
+    lead = [(0, 0)] * (s.ndim - 1)
     G, P = g, p
     k = 1
     while k < W:
-        Gs = jnp.pad(G[:, :-k], ((0, 0), (k, 0)))  # identity g=0
-        Ps = jnp.pad(P[:, :-k], ((0, 0), (k, 0)), constant_values=1)
+        Gs = jnp.pad(G[..., :-k], lead + [(k, 0)])  # identity g=0
+        Ps = jnp.pad(P[..., :-k], lead + [(k, 0)], constant_values=1)
         G = G | (P & Gs)
         P = P & Ps
         k *= 2
-    carry_in = jnp.pad(G[:, :-1], ((0, 0), (1, 0)))  # exclusive
+    carry_in = jnp.pad(G[..., :-1], lead + [(1, 0)])  # exclusive
     return s + carry_in
 
 
@@ -445,6 +447,149 @@ def myers_columns(enc: "MyersEncoding", ixs):
         for ix in np.asarray(ixs, dtype=np.int64)
     ]
     return np.stack(cols, axis=0)
+
+
+@jax.jit
+def _myers_columns_block(planes, la_all, t_ids, t_len):
+    """One-vs-all columns for a BLOCK of text strings in one program.
+
+    The scalar-text-char trick of ``_myers_column`` generalises: at
+    step j the block's text characters are an (S,) vector, so Eq is K
+    per-source broadcast selects over the shared (n, W) bitplane table
+    — still no per-lane gather, and the (S, n, W) state amortises the
+    sequential loop's step overhead over S sources at once.  This is
+    the exact-ground-truth workhorse (blocked exact k-NN at 20k-100k
+    points: reference contract tests/test_annchor.py:95-102 compares
+    every row against an exact graph).
+
+    planes: uint32 (K, 2, n, W); la_all: int32 (n,)
+    t_ids: int32 (S, L) dense ids (pad -1); t_len: int32 (S,)
+    Returns int32 (S, n).
+    """
+    K, _, n, W = planes.shape
+    S = t_ids.shape[0]
+    la = la_all.astype(jnp.int32)
+
+    word_base = jnp.arange(W, dtype=jnp.int32)[None, :] * 32
+    nbits = jnp.clip(la[:, None] - word_base, 0, 32)
+    VP0 = jnp.where(
+        nbits >= 32, UFULL, (UINT1 << nbits.astype(jnp.uint32)) - UINT1
+    ).astype(jnp.uint32)
+    VP0 = jnp.broadcast_to(VP0[None], (S, n, W))
+    VN0 = jnp.zeros((S, n, W), dtype=jnp.uint32)
+
+    m1 = jnp.maximum(la - 1, 0)
+    tap = jnp.where(
+        jnp.arange(W, dtype=jnp.int32)[None, :] == (m1 >> 5)[:, None],
+        (UINT1 << (m1 & 31).astype(jnp.uint32))[:, None],
+        jnp.uint32(0),
+    )[None]  # (1, n, W)
+
+    t_len = t_len.astype(jnp.int32)
+    score0 = jnp.broadcast_to(la[None], (S, n))
+
+    def step(j, VP, VN, score):
+        live = (j < t_len)[:, None, None]  # (S, 1, 1)
+        cj = t_ids[:, jnp.minimum(j, t_ids.shape[1] - 1)]  # (S,)
+        cju = jnp.clip(cj, 0, None).astype(jnp.uint32)
+        Eq = None
+        for k in range(K):
+            bit = ((cju >> k) & UINT1)[:, None, None]  # (S,1,1)
+            sel = jnp.where(bit == 1, planes[k, 1][None], planes[k, 0][None])
+            Eq = sel if Eq is None else (Eq & sel)
+        Eq = jnp.where((cj >= 0)[:, None, None], Eq, jnp.uint32(0))
+        Xv = Eq | VN
+        D0 = (_add_with_carry(Eq & VP, VP) ^ VP) | Xv
+        HP = VN | ~(D0 | VP)
+        HN = VP & D0
+        hp = jnp.any((HP & tap) != 0, axis=-1)
+        hn = jnp.any((HN & tap) != 0, axis=-1)
+        inc = hp.astype(jnp.int32) - hn.astype(jnp.int32)
+        score = score + jnp.where(live[..., 0], inc, 0)
+        X = _shift1(HP, UINT1)
+        HNs = _shift1(HN, jnp.uint32(0))
+        VP = jnp.where(live, HNs | ~(D0 | X), VP)
+        VN = jnp.where(live, X & D0, VN)
+        return VP, VN, score
+
+    def body(t, carry):
+        carry = step(t * 2, *carry)
+        return step(t * 2 + 1, *carry)
+
+    _, _, score = jax.lax.fori_loop(
+        0, (jnp.max(t_len) + 1) // 2, body, (VP0, VN0, score0)
+    )
+    return jnp.where(la[None] == 0, t_len[:, None], score)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_keep"))
+def _columns_block_topk(planes, la_all, t_ids, t_len, k: int, n_keep: int):
+    """Block columns + device k-smallest: only (S, k) crosses the link."""
+    d = _myers_columns_block(planes, la_all, t_ids, t_len)[:, :n_keep]
+    neg, idx = jax.lax.top_k(-d, k)
+    return -neg, idx
+
+
+def myers_knn(enc: "MyersEncoding", k: int, rows=None, block: int = 64,
+              n_keep=None, verbose: bool = False):
+    """Exact k-smallest distances per source row, blocked one-vs-all.
+
+    Never materialises the O(n^2) matrix: each block of ``block``
+    sources runs as one device program ending in ``top_k``, and only
+    (block, k) indices+distances are downloaded.  ``rows=None`` means
+    every string (a full exact k-NN graph — incl. the self column when
+    k counts it); ``n_keep`` restricts candidate columns to a prefix
+    of the encoding (query-vs-dataset use).
+    Returns (idx int64 (R, k), dist float64 (R, k)), ascending.
+    """
+    from annchor_tpu.progress import progress
+
+    _, planes, ids, la = enc.device_arrays()
+    n = planes.shape[2]
+    if n_keep is None:
+        n_keep = n
+    if rows is None:
+        rows = np.arange(n, dtype=np.int64)
+    rows = np.asarray(rows, dtype=np.int64)
+    idx_out = np.empty((rows.shape[0], k), dtype=np.int64)
+    dist_out = np.empty((rows.shape[0], k), dtype=np.float64)
+    for s in progress(
+        range(0, rows.shape[0], block), "exact rows", verbose
+    ):
+        blk = rows[s : s + block]
+        d, ix = _columns_block_topk(
+            planes, la,
+            jnp.take(ids, jnp.asarray(blk), axis=0),
+            jnp.asarray(enc.lengths[blk]),
+            int(k), int(n_keep),
+        )
+        dist_out[s : s + blk.shape[0]] = np.asarray(d)
+        idx_out[s : s + blk.shape[0]] = np.asarray(ix)
+    return idx_out, dist_out
+
+
+def myers_rows(enc: "MyersEncoding", rows, block: int = 64, n_keep=None,
+               verbose: bool = False):
+    """Full exact distance rows (R, n_keep) for the given sources."""
+    from annchor_tpu.progress import progress
+
+    _, planes, ids, la = enc.device_arrays()
+    n = planes.shape[2]
+    if n_keep is None:
+        n_keep = n
+    rows = np.asarray(rows, dtype=np.int64)
+    out = np.empty((rows.shape[0], n_keep), dtype=np.float64)
+    for s in progress(
+        range(0, rows.shape[0], block), "exact rows", verbose
+    ):
+        blk = rows[s : s + block]
+        d = _myers_columns_block(
+            planes, la,
+            jnp.take(ids, jnp.asarray(blk), axis=0),
+            jnp.asarray(enc.lengths[blk]),
+        )
+        out[s : s + blk.shape[0]] = np.asarray(d[:, :n_keep])
+    return out
 
 
 class MyersEncoding:

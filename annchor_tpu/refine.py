@@ -9,6 +9,8 @@ Annchor.refine_neighbor_graph for the public entry point.
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 
 __all__ = ["refine_neighbor_graph"]
@@ -49,15 +51,31 @@ def refine_neighbor_graph(ann, rounds=2, budget=None):
         budget = max(0, int(ann.p_work * ann.N) - ann.evals)
     budget = int(budget)
 
+    # per-round accounting (the expansion wall at 100k measured 3x
+    # session-to-session variance on identical eval counts; these
+    # counters separate pipeline cost — batches, sorts — from relay
+    # latency): one dict per stage in ann._refine_stats
+    stats = []
+    ann._refine_stats = stats
+
     def _exact(IJ):
         # always the exact metric, even after a hybrid fit (where
         # get_exact_ijs is still the scout): refinement certifies
         geq = (
             ann._exact_eval if ann._scouting else ann.get_exact_ijs
         )
+        t0 = time.perf_counter()
         d = np.asarray(
             geq(ann.f, ann.X, IJ), dtype=np.float64
         )
+        if stats:
+            stats[-1]["eval_s"] = round(
+                stats[-1].get("eval_s", 0.0)
+                + (time.perf_counter() - t0), 3,
+            )
+            stats[-1]["eval_batches"] = (
+                stats[-1].get("eval_batches", 0) + 1
+            )
         ann.evals += d.shape[0]
         return d
 
@@ -86,6 +104,7 @@ def refine_neighbor_graph(ann, rounds=2, budget=None):
     pool_exact = flags0[ok][order][first]
 
     spent = 0
+    stats.append({"stage": "certify", "t0": time.perf_counter()})
     todo = np.flatnonzero(~pool_exact)
     if todo.size and budget > 0:
         # certify predicted reported edges, smallest first (they
@@ -97,6 +116,10 @@ def refine_neighbor_graph(ann, rounds=2, budget=None):
         pool_vals[todo] = _exact(np.stack([a, b], axis=1))
         pool_exact[todo] = True
         spent += todo.shape[0]
+    stats[-1]["evals"] = spent
+    stats[-1]["wall_s"] = round(
+        time.perf_counter() - stats[-1].pop("t0"), 3
+    )
 
     def row_lists():
         a = pool_keys // nx
@@ -125,6 +148,8 @@ def refine_neighbor_graph(ann, rounds=2, budget=None):
         share = left if r == rounds - 1 else max(
             1, left // (rounds - r)
         )
+        stats.append({"stage": f"round{r}", "t0": time.perf_counter()})
+        t_host = time.perf_counter()
         gi, gd, _ = row_lists()
         kth = gd[:, -1]
         # candidates: i -> j (with d_ij) -> l (with d_jl), held as
@@ -203,12 +228,19 @@ def refine_neighbor_graph(ann, rounds=2, budget=None):
         )
         ckey, ub, rank = ckey[new], ub[new], rank[new]
         if ckey.size == 0:
+            stats[-1]["wall_s"] = round(
+                time.perf_counter() - stats[-1].pop("t0"), 3
+            )
             break
         if ckey.shape[0] > share:
             keep = np.lexsort((ub, rank))[:share]
             ckey = ckey[keep]
         a = ckey // nx
         b = ckey % nx
+        stats[-1]["host_screen_s"] = round(
+            time.perf_counter() - t_host, 3
+        )
+        stats[-1]["evals"] = int(ckey.shape[0])
         d = _exact(np.stack([a, b], axis=1))
         spent += ckey.shape[0]
         pool_keys = np.concatenate([pool_keys, ckey])
@@ -220,8 +252,14 @@ def refine_neighbor_graph(ann, rounds=2, budget=None):
         pool_keys = pool_keys[order]
         pool_vals = pool_vals[order]
         pool_exact = pool_exact[order]
+        stats[-1]["wall_s"] = round(
+            time.perf_counter() - stats[-1].pop("t0"), 3
+        )
 
     gi, gd, gx = row_lists()
+    if getattr(ann, "verbose", False):
+        for s in stats:
+            print("    refine", s)
     ann.neighbor_graph = (
         np.concatenate([np.arange(nx)[:, None], gi], axis=1),
         np.concatenate([np.zeros((nx, 1)), gd], axis=1),

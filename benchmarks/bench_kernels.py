@@ -94,8 +94,26 @@ def bench_lev(args):
     d_xla = myers_pairs(enc, I, J)
     t_xla = _best_of(lambda: myers_pairs(enc, I, J), args.reps)
     tiers["xla"] = t_xla
+    pallas_ok = None
     if on_tpu:
-        np.testing.assert_array_equal(d_pl, d_xla)
+        # compiled-Pallas correctness record: CI runs interpret mode
+        # only, and the runtime tier fallback (metrics.py) would mask
+        # a mosaic regression as a silent slowdown — so every TPU
+        # session logs an explicit value-parity verdict to
+        # kernels.jsonl before the assert makes it fatal
+        pallas_ok = bool(np.array_equal(np.asarray(d_pl), np.asarray(d_xla)))
+        if not pallas_ok:
+            bad = int((np.asarray(d_pl) != np.asarray(d_xla)).sum())
+            emit({
+                "bench": "levenshtein_pairs",
+                "device": kind,
+                "pallas_matches_xla": False,
+                "mismatching_pairs": bad,
+                "pairs": B,
+            })
+            raise AssertionError(
+                f"pallas/XLA Levenshtein mismatch on {bad}/{B} pairs"
+            )
 
     # op-model throughput estimate: the kernel executes ~70 vector ops
     # on (W, TILE) uint32 blocks per text char (Eq select ~17, carry
@@ -120,6 +138,8 @@ def bench_lev(args):
         lane_ops = steps * ops_per_char * W
         rec["pallas_int_tops"] = round(lane_ops / tiers["pallas"] / 1e12, 3)
         rec["pallas_vs_xla"] = round(t_xla / tiers["pallas"], 2)
+    if pallas_ok is not None:
+        rec["pallas_matches_xla"] = pallas_ok
     emit(rec)
     return rec
 

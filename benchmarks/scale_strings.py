@@ -54,6 +54,19 @@ def main(argv=None):
     # iterations re-target the eval budget as the error model improves
     ap.add_argument("--niters", type=int, default=2)
     ap.add_argument("--check-rows", type=int, default=50)
+    # full-population check: exact GT graph via blocked device
+    # columns + compare_neighbor_graphs over EVERY row (the
+    # reference's own accuracy contract,
+    # /root/reference/annchor/tests/test_annchor.py:95-102).
+    # Feasible to ~100k; the GT is cached per corpus in /tmp.
+    ap.add_argument("--exact-gt", action="store_true")
+    # per-point pair budget (constructor kwarg; 0 = derived default)
+    ap.add_argument("--pair-cap", type=int, default=0)
+    # out-of-sample query check: hold out this many strings from the
+    # generated corpus, query them against the fitted index, score
+    # against exact query rows
+    ap.add_argument("--query-check", type=int, default=0)
+    ap.add_argument("--query-p-work", type=float, default=0.05)
     ap.add_argument("--seed", type=int, default=42)
     # warm-up fit first so the timed figure excludes XLA compilation,
     # matching the baseline protocol (reference excludes numba JIT)
@@ -71,7 +84,7 @@ def main(argv=None):
     from annchor_tpu.datasets import make_strings
 
     X, y = make_strings(
-        n=args.n,
+        n=args.n + args.query_check,
         n_clusters=args.clusters,
         length=args.length,
         mutation_rate=args.mutation_rate,
@@ -79,6 +92,8 @@ def main(argv=None):
         evolve=True,
     )
     X = list(X)
+    Q = X[args.n:]  # held-out queries (empty unless --query-check)
+    X = X[: args.n]
 
     def build(verbose):
         ann = at.Annchor(
@@ -95,6 +110,7 @@ def main(argv=None):
             verbose=verbose,
             refine_frac=args.refine_frac,
             refine_rounds=args.expand_rounds,
+            pair_cap=args.pair_cap or None,
         )
         t0 = time.perf_counter()
         ann.fit()
@@ -180,6 +196,54 @@ def main(argv=None):
         )
         d_hits += (args.k - 1) - sum(diff.values())
 
+    if args.exact_gt:
+        # full-population error count in the reference's own metric:
+        # exact GT graph (blocked device columns + in-program top-k)
+        # and compare_neighbor_graphs over every row
+        gt_path = (
+            f"/tmp/annchor_gt_{args.n}_{args.length}_{args.clusters}_"
+            f"{args.mutation_rate}_{args.seed}_{args.k}"
+            f"{'_q' + str(args.query_check) if args.query_check else ''}.npz"
+        )
+        t0 = time.perf_counter()
+        if os.path.exists(gt_path):
+            z = np.load(gt_path)
+            gt = (z["idx"], z["dist"])
+        else:
+            gi, gd = at.exact_knn(
+                X, "levenshtein", k=args.k, block=64, verbose=True
+            )
+            np.savez_compressed(gt_path, idx=gi, dist=gd)
+            gt = (gi, gd)
+        gt_s = time.perf_counter() - t0
+        errors = at.compare_neighbor_graphs(
+            gt, ann.neighbor_graph, args.k
+        )
+    qstats = None
+    if args.query_check:
+        _ = ann.query(Q[:8], nn=args.k, p_work=args.query_p_work)  # warm
+        t0 = time.perf_counter()
+        qg = ann.query(Q, nn=args.k, p_work=args.query_p_work)
+        query_s = time.perf_counter() - t0
+        rows_q = at.exact_query_rows(X, Q, "levenshtein", verbose=True)
+        order = np.argsort(rows_q, axis=1, kind="stable")[:, : args.k]
+        gtd = np.take_along_axis(rows_q, order, axis=1)
+        q_err = at.compare_neighbor_graphs(
+            (order, gtd), qg, args.k
+        )
+        got = np.asarray(qg[0])[:, : args.k]
+        hits_q = sum(
+            len(set(order[t].tolist()) & set(got[t].tolist()))
+            for t in range(len(Q))
+        )
+        qstats = {
+            "nq": len(Q),
+            "query_s": round(query_s, 2),
+            "query_p_work": args.query_p_work,
+            "query_recall": round(hits_q / (len(Q) * args.k), 4),
+            "query_errors": int(q_err),
+        }
+
     result = {
         "metric": "scale_strings_build_s",
         "value": round(build_s, 2),
@@ -197,6 +261,16 @@ def main(argv=None):
         "candidate_coverage": round(covered / total, 4),
         "check_rows": len(rows),
     }
+    if args.exact_gt:
+        result["exact_gt_errors"] = int(errors)
+        # reference error semantics: count per row of distinct
+        # over-represented rounded distance values; normalise by rows
+        result["exact_gt_error_rate"] = round(errors / args.n, 6)
+        result["exact_gt_s"] = round(gt_s, 2)
+    if qstats is not None:
+        result.update(qstats)
+    if args.pair_cap:
+        result["pair_cap"] = args.pair_cap
     if warm_s is not None:
         result["warmup_s"] = round(warm_s, 2)
     if args.expand_evals > 0:

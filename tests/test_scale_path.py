@@ -555,3 +555,58 @@ def test_legacy_query_duplicate_profiles():
     # and the ordinary query is untouched by the degenerate branch
     D = np.linalg.norm(Q[1] - X, axis=1)
     assert D[ngi[1]].max() <= np.sort(D)[8] + 1e-9
+
+
+def test_pair_cap_ctor_kwarg_matches_env(_force_sparse):
+    """pair_cap as a constructor kwarg builds the identical tracked
+    pair set as the ANNCHOR_TPU_PAIR_CAP env override (the ctor is the
+    config system — reference annchor.py:92-115; env vars are sweep
+    overrides only)."""
+    from sklearn.datasets import make_blobs
+
+    import annchor_tpu as at
+
+    X, _ = make_blobs(
+        n_samples=700, centers=8, n_features=5, random_state=7
+    )
+    kwargs = dict(
+        n_anchors=12, n_neighbors=10, n_samples=900,
+        p_work=0.2, random_seed=42,
+    )
+    ann_kw = at.Annchor(X, "euclidean", pair_cap=90, **kwargs)
+    ann_kw.fit()
+    os.environ["ANNCHOR_TPU_PAIR_CAP"] = "90"
+    try:
+        ann_env = at.Annchor(X, "euclidean", **kwargs)
+        ann_env.fit()
+    finally:
+        os.environ.pop("ANNCHOR_TPU_PAIR_CAP", None)
+    assert ann_kw.evals == ann_env.evals
+    np.testing.assert_array_equal(
+        np.asarray(ann_kw.neighbor_graph[0]),
+        np.asarray(ann_env.neighbor_graph[0]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ann_kw.neighbor_graph[1]),
+        np.asarray(ann_env.neighbor_graph[1]),
+    )
+
+
+def test_pair_cap_factor_ctor_kwarg(_force_sparse):
+    """pair_cap_factor tunes the derived cap without env vars."""
+    from sklearn.datasets import make_blobs
+
+    import annchor_tpu as at
+
+    X, _ = make_blobs(
+        n_samples=700, centers=8, n_features=5, random_state=7
+    )
+    kwargs = dict(
+        n_anchors=12, n_neighbors=10, n_samples=900,
+        p_work=0.2, random_seed=42,
+    )
+    small = at.Annchor(X, "euclidean", pair_cap_factor=0.3, **kwargs)
+    small.fit()
+    big = at.Annchor(X, "euclidean", pair_cap_factor=0.9, **kwargs)
+    big.fit()
+    assert small._ij_dev[2] < big._ij_dev[2]
