@@ -1264,16 +1264,20 @@ class Annchor:
             get_exact_query_ijs=get_exact_query_ijs,
         )
 
-    def save(self, path):
+    def save(self, path, include_exact=True):
         """Persist the fitted index (see annchor_tpu.io; the dataset
-        and metric are re-supplied at load time)."""
+        and metric are re-supplied at load time).  Scale-path fits are
+        saved scale-safe (format v2: no O(m) host materialisation);
+        include_exact=False drops the exact-store dump there."""
         from annchor_tpu.io import save_annchor
 
-        save_annchor(self, path)
+        save_annchor(self, path, include_exact=include_exact)
 
     @classmethod
     def load(cls, path, X, func, func_kwargs=None, **kwargs):
-        """Rebuild a fitted index saved with save()."""
+        """Rebuild a fitted index saved with save().  For scale-path
+        (v2) checkpoints, rebuild_pairs=True re-runs the device pair
+        build from the stored anchor columns (no metric calls)."""
         from annchor_tpu.io import load_annchor
 
         return load_annchor(
@@ -1365,17 +1369,36 @@ def compare_neighbor_graphs(nng_1, nng_2, n_neighbors):
     rounded values per row (len of the Counter difference), which this
     reproduces exactly.
     """
-    d1 = np.round(np.asarray(nng_1[1])[:, :n_neighbors], 3).astype(np.float32)
-    d2 = np.round(np.asarray(nng_2[1])[:, :n_neighbors], 3).astype(np.float32)
-    err = 0
-    for a, b in zip(d1, d2):
-        av, ac = np.unique(a, return_counts=True)
-        bv, bc = np.unique(b, return_counts=True)
-        pos = np.searchsorted(bv, av)
-        pos_c = np.clip(pos, 0, max(len(bv) - 1, 0))
-        matched = (
-            (pos < len(bv)) & (bv[pos_c] == av) if len(bv) else np.zeros_like(av, bool)
+    # + 0.0 maps any -0.0 to +0.0 so the uint32 bit pattern of equal
+    # rounded values is identical; nonnegative IEEE floats then sort
+    # identically as bits, letting the whole per-row Counter
+    # difference run as flat sorted-array ops (the reference's Python
+    # row loop costs ~14 s at 100k rows; this is ~2 s)
+    d1 = (
+        np.round(np.asarray(nng_1[1])[:, :n_neighbors], 3)
+        .astype(np.float32) + 0.0
+    )
+    d2 = (
+        np.round(np.asarray(nng_2[1])[:, :n_neighbors], 3)
+        .astype(np.float32) + 0.0
+    )
+    nx = d1.shape[0]
+
+    def row_keys(d):
+        bits = np.ascontiguousarray(d).view(np.uint32).astype(np.int64)
+        row = np.repeat(
+            np.arange(nx, dtype=np.int64), d.shape[1]
         )
-        cb = np.where(matched, bc[pos_c], 0)
-        err += int(np.sum(ac > cb))
-    return int(err)
+        return np.sort(row * (1 << 32) + bits.ravel())
+
+    k1 = row_keys(d1)
+    k2 = row_keys(d2)
+    first = np.ones(k1.shape[0], dtype=bool)
+    first[1:] = k1[1:] != k1[:-1]
+    uk = k1[first]
+    starts = np.flatnonzero(first)
+    ac = np.diff(np.append(starts, k1.shape[0]))
+    cb = np.searchsorted(k2, uk, "right") - np.searchsorted(k2, uk, "left")
+    # reference semantics: per row, the number of DISTINCT rounded
+    # values over-represented in graph 1 vs graph 2
+    return int(np.sum(ac > cb))

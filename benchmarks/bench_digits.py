@@ -32,7 +32,7 @@ BASELINE_ERRORS = 8
 ERROR_BUDGET = 10  # reference CI, tests/test_annchor.py:65-68
 
 
-def main(exact: bool = False):
+def main(exact: bool = False, verbose: bool = False):
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import annchor_tpu as at
     from annchor_tpu.datasets import load_digits
@@ -55,6 +55,7 @@ def main(exact: bool = False):
         n_samples=5000,
         p_work=0.16,
         random_seed=42,
+        verbose=verbose,
     )
 
     def build():
@@ -96,4 +97,7 @@ def main(exact: bool = False):
 
 
 if __name__ == "__main__":
-    sys.exit(main(exact="--exact" in sys.argv[1:]))
+    sys.exit(main(
+        exact="--exact" in sys.argv[1:],
+        verbose="--verbose" in sys.argv[1:],
+    ))
