@@ -1250,6 +1250,24 @@ def enemy_candidate_pairs(S, y, eff_e, loc_eff, block: int = 4096):
     )
 
 
+@jax.jit
+def _query_block_packed(SX, Sq_block, loc_thresh):
+    """Bit-packed query-candidate mask for a block of queries:
+    keep[q, j] = shared-anchor count >= loc_thresh.  uint32
+    (B, nx/32) with bit b of word w = database column 32w+b."""
+    counts = jax.lax.dot_general(
+        Sq_block,
+        SX,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    B, nx = counts.shape
+    keep = counts >= loc_thresh
+    bits = keep.reshape(B, nx // 32, 32).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    return jnp.sum(bits * weights[None, None, :], axis=2, dtype=jnp.uint32)
+
+
 def query_candidates(
     S_X, QD, locality: int, loc_thresh: int, block: int = 4096
 ):
@@ -1259,24 +1277,28 @@ def query_candidates(
     point's set; no adaptive threshold, no symmetrisation.
 
     Returns flat int64 arrays (db_ids, q_ids) — already in the padded
-    pair layout the query pipeline consumes, built with one vectorised
-    nonzero per query block instead of nq Python iterations."""
+    pair layout the query pipeline consumes.  The per-block counts
+    matrix stays on device; only the bit-packed keep mask crosses the
+    link (nq*nx bits, e.g. 12.5 MB for 1000 queries against 100k
+    points, vs 400 MB of f32 counts), decoded by the native
+    single-pass decoder — same scheme as the fit's locality filter."""
     Sq, _ = anchor_membership(QD, locality)
     Sq = jnp.asarray(Sq)
     SX = jnp.asarray(S_X)
     nq = Sq.shape[0]
+    nx = SX.shape[0]
+    nx_pad = -(-nx // 32) * 32
+    if nx_pad > nx:
+        SX = jnp.pad(SX, ((0, nx_pad - nx), (0, 0)))
     parts_db, parts_q = [], []
     for s in range(0, nq, block):
-        counts = np.asarray(
-            jax.lax.dot_general(
-                Sq[s : s + block],
-                SX,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+        packed = np.asarray(
+            _query_block_packed(
+                SX, Sq[s : s + block], jnp.float32(loc_thresh)
             )
         )
-        qs, dbs = np.nonzero(counts >= loc_thresh)
-        parts_q.append((qs + s).astype(np.int64))
+        qs, dbs = _decode_packed(packed, nx, row_off=0)
+        parts_q.append((qs.astype(np.int64) + s))
         parts_db.append(dbs.astype(np.int64))
     if not parts_db:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)

@@ -65,7 +65,7 @@ timeout 14400 python benchmarks/scale_strings.py \
   --niters 4 --loc-thresh 3 --locality 5 --n-anchors 128 \
   --check-rows 100 --pair-cap 700 \
   --expand-evals 0.0003 --expand-rounds 3 \
-  > /tmp/q4_200k.log 2>&1
+  --warm > /tmp/q4_200k.log 2>&1
 harvest /tmp/q4_200k.log $RES/scale_strings.jsonl
 echo 200k_done >> /tmp/q4_status.log
 
