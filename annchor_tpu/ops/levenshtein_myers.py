@@ -613,10 +613,14 @@ class MyersEncoding:
         self._dev = None
 
     def device_arrays(self):
-        """(peq, planes, ids, lengths) as cached device arrays."""
+        """(peq, planes, ids, lengths); planes/ids/lengths as cached
+        device arrays.  peq stays HOST-side: every kernel consumes the
+        bitplane decomposition (planes), and uploading the raw
+        (n, alphabet, W) table would waste n*alphabet*W*4 bytes of HBM
+        and link time (1.3 GB at 500k points) for nothing."""
         if self._dev is None:
             self._dev = (
-                jnp.asarray(self.peq),
+                self.peq,
                 jnp.asarray(self.planes),
                 jnp.asarray(self.ids),
                 jnp.asarray(self.lengths),

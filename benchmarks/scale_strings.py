@@ -67,6 +67,10 @@ def main(argv=None):
     # against exact query rows
     ap.add_argument("--query-check", type=int, default=0)
     ap.add_argument("--query-p-work", type=float, default=0.05)
+    # persist the fitted index (format v2 on the scale path) and time
+    # the save + a load that serves a query — the scale-safe
+    # persistence evidence
+    ap.add_argument("--save", type=str, default="")
     ap.add_argument("--seed", type=int, default=42)
     # warm-up fit first so the timed figure excludes XLA compilation,
     # matching the baseline protocol (reference excludes numba JIT)
@@ -244,6 +248,27 @@ def main(argv=None):
             "query_errors": int(q_err),
         }
 
+    save_stats = None
+    if args.save:
+        t0 = time.perf_counter()
+        ann.save(args.save)
+        save_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ann_l = at.Annchor.load(args.save, X, "levenshtein")
+        load_s = time.perf_counter() - t0
+        ok = bool(
+            np.array_equal(
+                np.asarray(ann_l.neighbor_graph[0]),
+                np.asarray(ann.neighbor_graph[0]),
+            )
+        )
+        save_stats = {
+            "save_s": round(save_s, 2),
+            "load_s": round(load_s, 2),
+            "save_bytes": os.path.getsize(args.save),
+            "load_graph_equal": ok,
+        }
+
     result = {
         "metric": "scale_strings_build_s",
         "value": round(build_s, 2),
@@ -269,6 +294,8 @@ def main(argv=None):
         result["exact_gt_s"] = round(gt_s, 2)
     if qstats is not None:
         result.update(qstats)
+    if save_stats is not None:
+        result.update(save_stats)
     if args.pair_cap:
         result["pair_cap"] = args.pair_cap
     if warm_s is not None:
