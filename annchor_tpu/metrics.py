@@ -150,6 +150,8 @@ class _DenseBatchEngine:
         from annchor_tpu import parallel
 
         mesh = parallel.auto_mesh()
+        # async dispatch per chunk, one download at the end (per-chunk
+        # blocking transfers cost a relay round trip each)
         outs = []
         for s in range(0, IJ.shape[0], self.chunk):
             blk = IJ[s : s + self.chunk]
@@ -160,11 +162,11 @@ class _DenseBatchEngine:
                 if pad:
                     blk = np.concatenate([blk, blk[-1:].repeat(pad, 0)])
             kern = self._kernel_for(m_blk)
-            d = np.asarray(
-                kern(Xd, Zd, jnp.asarray(blk[:, 0]), jnp.asarray(blk[:, 1]))
-            )
+            d = kern(Xd, Zd, jnp.asarray(blk[:, 0]), jnp.asarray(blk[:, 1]))
             outs.append(d[: d.shape[0] - pad] if pad else d)
-        return np.concatenate(outs).astype(np.float64)
+        if len(outs) == 1:
+            return np.asarray(outs[0]).astype(np.float64)
+        return np.asarray(jnp.concatenate(outs)).astype(np.float64)
 
     def _data_dev(self, X):
         hit = self._dev_cache

@@ -679,6 +679,13 @@ def myers_pairs(
         run = _myers_from_tables_sharded(mesh)
     else:
         run = _myers_from_tables_jit
+    # dispatch every block async and download ONCE at the end: a
+    # blocking np.asarray per block costs one relay round trip each
+    # (~30 ms nominal, up to 10x under relay-latency spikes — the
+    # round-8 "expansion wall" at 100k was exactly this, ~70 trips
+    # per refinement round); per-program temps are bounded (~54 MB
+    # at the default block), so queueing the dispatches is safe
+    pending = []
     for s in range(0, m, block_size):
         sel = order[s : s + block_size]
         bsz = sel.shape[0]
@@ -700,7 +707,16 @@ def myers_pairs(
             jnp.asarray(gla),
             jnp.asarray(glb),
         )
+        pending.append((sel, bsz, d))
+    if len(pending) == 1:
+        sel, bsz, d = pending[0]
         out[sel] = np.asarray(d)[:bsz]
+    elif pending:
+        flat = np.asarray(jnp.concatenate([d for _, _, d in pending]))
+        off = 0
+        for sel, bsz, _ in pending:
+            out[sel] = flat[off : off + bsz]
+            off += block_size
     return out
 
 

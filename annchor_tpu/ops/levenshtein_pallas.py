@@ -271,6 +271,10 @@ def pallas_myers_pairs(enc, I, J, block_size: int = 8192):
     interp = pallas_interpret()
     _, planes_d, ids_d, _ = enc.device_arrays()
     out = np.zeros(m, dtype=np.int32)
+    # async dispatch per block, single flush at the end (a blocking
+    # download per block costs one relay round trip each — see
+    # myers_pairs for the measured wall this avoids)
+    pending = []
     for s in range(0, m, block_size):
         sel = order[s : s + block_size]
         bsz = sel.shape[0]
@@ -290,5 +294,14 @@ def pallas_myers_pairs(enc, I, J, block_size: int = 8192):
             jnp.asarray(np.array([[max(int(glb.max()), 0)]], np.int32)),
             interp,
         )
-        out[sel] = np.asarray(d)[0, :bsz]
+        pending.append((sel, bsz, d[0, : bsz + pad]))
+    if len(pending) == 1:
+        sel, bsz, d = pending[0]
+        out[sel] = np.asarray(d)[:bsz]
+    elif pending:
+        flat = np.asarray(jnp.concatenate([d for _, _, d in pending]))
+        off = 0
+        for sel, bsz, d in pending:
+            out[sel] = flat[off : off + bsz]
+            off += int(d.shape[0])
     return out
