@@ -141,9 +141,6 @@ def main(argv=None):
     rng = np.random.default_rng(0)
     rows = rng.choice(args.n, size=min(args.check_rows, args.n),
                       replace=False)
-    from annchor_tpu.metrics import get_function_from_input
-
-    metric = get_function_from_input("levenshtein", None)
     # candidate coverage: true neighbors the locality filter admitted
     # as pairs at all (the recall ceiling; everything below it is the
     # regression/refinement ranking's miss, not the filter's)
@@ -175,12 +172,12 @@ def main(argv=None):
         if row_mask[j]:
             cand[int(j)].add(int(i))
 
+    # blocked exact rows: one device program per 32 rows (the
+    # per-row batch loop costs a relay trip per row)
+    R = at.exact_rows(X, "levenshtein", rows=rows, block=32)
     hits, total, covered, d_hits = 0, 0, 0, 0
-    for r in rows:
-        IJ = np.stack(
-            [np.full(args.n, r, dtype=np.int64), np.arange(args.n)], axis=1
-        )
-        d = metric.batch(X, X, IJ)
+    for t, r in enumerate(rows):
+        d = R[t].copy()
         d[r] = np.inf
         exact = set(np.argsort(d, kind="stable")[: args.k - 1].tolist())
         got = set(np.asarray(ann.neighbor_graph[0])[r, 1: args.k].tolist())
