@@ -211,6 +211,7 @@ def test_bruteforce_graph_is_exact(blobs):
     )
 
 
+@pytest.mark.slow
 def test_sinkhorn_non_metric_pipeline(rng):
     """is_metric=False path: no triangle clipping, anchor rows
     overwritten with exact column values

@@ -125,6 +125,7 @@ def test_selective_subset_covers(blobs):
     assert acc >= 0.99
 
 
+@pytest.mark.slow
 def test_selective_subset_pinned_sizes():
     """Reference-workload determinism pin (reference
     tests/test_examples.py:61-85 asserts exactly 90 blobs / 16 moons).
@@ -154,6 +155,7 @@ def test_selective_subset_pinned_sizes():
     assert len(annU.annchor_selective_subset(y=v, alpha=0)) == 12
 
 
+@pytest.mark.slow
 def test_alpha_rss(blobs):
     from sklearn.datasets import make_moons
 
@@ -188,6 +190,7 @@ def test_maxmin_picker_reference_parity(blobs):
     )
 
 
+@pytest.mark.slow
 def test_selected_anchor_picker(blobs):
     X, _ = blobs
     picked = [5, 50, 500, 900, 333, 777, 111, 222, 444, 555]
@@ -208,6 +211,7 @@ def test_selected_anchor_picker(blobs):
     assert err < 50
 
 
+@pytest.mark.slow
 def test_random_anchor_picker(blobs):
     X, _ = blobs
     ann = at.Annchor(
@@ -222,6 +226,7 @@ def test_random_anchor_picker(blobs):
     assert len(np.unique(ann.A)) == 10
 
 
+@pytest.mark.slow
 def test_external_anchor_picker(blobs):
     """Out-of-set anchors (reference pickers.py:55-83: A empty, D from
     external objects)."""

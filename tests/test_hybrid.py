@@ -45,6 +45,7 @@ def test_sinkhorn_exp_eps_guard():
         SinkhornExpEngine(M, eps=0.001)
 
 
+@pytest.mark.slow
 def test_hybrid_scout_certify_pipeline(digits300):
     """Full hybrid fit on a digits subset: errors counted against the
     exact brute-force graph, certification pays only a small exact
@@ -105,6 +106,7 @@ def test_user_evaluator_beats_scout(digits300):
     assert len(calls) > 0  # construction smoke test went through it
 
 
+@pytest.mark.slow
 def test_pure_sinkhorn_graph_recall(digits300):
     """wasserstein_sinkhorn end-to-end, scored against the *exact* EMD
     ground truth (VERDICT round-1 item 9): the entropic values carry a
@@ -201,6 +203,7 @@ def test_graph_sp_pipeline_exactness(small_graph):
     assert err <= 2
 
 
+@pytest.mark.slow
 def test_certify_graph_expansion_recovers_scout_misranks():
     """Graph-expansion certify (Annchor._certify): a scout whose
     deterministic per-pair noise buries some true neighbours deep in

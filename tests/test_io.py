@@ -48,6 +48,7 @@ def test_loaded_index_serves_queries(fitted, tmp_path, rng):
     assert (gi2[:, 0] == np.arange(20)).all()
 
 
+@pytest.mark.slow
 def test_loaded_index_refines(tmp_path):
     """The persisted per-edge exactness (ng_exact) must survive the
     round trip so refine_neighbor_graph on a LOADED index certifies

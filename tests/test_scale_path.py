@@ -16,6 +16,9 @@ import annchor_tpu as at
 from annchor_tpu.ops.device_pipeline import _ExactStore
 from annchor_tpu.ops.locality import candidate_pairs, candidate_pairs_device
 
+# scale-path E2E fits: nightly/full tier (fast gate runs -m "not slow")
+pytestmark = pytest.mark.slow
+
 
 def _pairs_key(a):
     return np.sort(np.ascontiguousarray(a).view("i4,i4"), axis=0)
@@ -295,6 +298,13 @@ def test_refine_graph_invariants(_force_sparse):
     gi0, gd0 = (a.copy() for a in ann.neighbor_graph)
     ann.refine_neighbor_graph(rounds=2, budget=3000)
     gi, gd = ann.neighbor_graph
+
+    # per-stage accounting is recorded (certify + up to 2 rounds),
+    # every stage carries wall time and eval-batch counts
+    stats = ann._refine_stats
+    assert stats and stats[0]["stage"] == "certify"
+    assert all("wall_s" in s for s in stats)
+    assert sum(s.get("evals", 0) for s in stats) <= 3000
 
     assert (gi[:, 0] == np.arange(500)).all()
     assert (gd[:, 0] == 0).all()

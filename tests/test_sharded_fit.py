@@ -16,6 +16,9 @@ from sklearn.datasets import make_blobs
 
 import annchor_tpu as at
 
+# scale-path E2E fits: nightly/full tier (fast gate runs -m "not slow")
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture()
 def _sharding_on():

@@ -83,6 +83,7 @@ def test_sharded_levenshtein_matches_unsharded(mesh, rng):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     """The driver's multi-chip validation path."""
     import sys
@@ -94,6 +95,7 @@ def test_dryrun_multichip_8():
     graft.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_uneven_mesh():
     import sys
     import os

@@ -25,6 +25,7 @@ from annchor_tpu.datasets import _refdata_dir, load_strings
 @pytest.mark.skipif(
     _refdata_dir() is None, reason="reference data mount not available"
 )
+@pytest.mark.slow
 def test_real_strings_reference_budget():
     data = load_strings()
     X, gt = data["X"], data["neighbor_graph"]
