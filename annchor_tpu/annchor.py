@@ -437,9 +437,14 @@ class Annchor:
             # the two-pass streaming build bounds resident pairs by the
             # budgeted set, lifting the single-chip HBM wall that caps
             # coverage at nx ~ 10^5 (SCALE.md).
-            pair_cap = int(
-                os.environ.get("ANNCHOR_TPU_PAIR_CAP", "0")
-            ) or (self.pair_cap or 0)
+            # env wins even at 0 (docs/parameters.md: the variable is
+            # the sweep override) — `or` would let a falsy 0 fall
+            # through to the ctor kwarg and sweep the wrong config
+            env_cap = os.environ.get("ANNCHOR_TPU_PAIR_CAP")
+            pair_cap = (
+                int(env_cap) if env_cap is not None
+                else (self.pair_cap or 0)
+            )
             if pair_cap > 0:
                 from annchor_tpu.ops.locality import (
                     candidate_pairs_device_budgeted,
@@ -497,7 +502,11 @@ class Annchor:
                 max_res = int(
                     env_res
                     if env_res is not None
-                    else (self.max_resident_pairs or 10**8)
+                    else (
+                        10**8
+                        if self.max_resident_pairs is None
+                        else self.max_resident_pairs
+                    )
                 )
                 auto_cap = max(
                     4 * self.n_neighbors,
@@ -1382,7 +1391,10 @@ def compare_neighbor_graphs(nng_1, nng_2, n_neighbors):
         np.round(np.asarray(nng_2[1])[:, :n_neighbors], 3)
         .astype(np.float32) + 0.0
     )
-    nx = d1.shape[0]
+    # the reference zips rows, silently comparing the common prefix
+    # when the graphs differ in length — keep that semantics
+    nx = min(d1.shape[0], d2.shape[0])
+    d1, d2 = d1[:nx], d2[:nx]
 
     def row_keys(d):
         bits = np.ascontiguousarray(d).view(np.uint32).astype(np.int64)

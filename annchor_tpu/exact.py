@@ -61,25 +61,60 @@ def _dense_knn(engine, X, k, rows, block, verbose):
     return idx_out, dist_out
 
 
-def _host_knn(metric, X, k, rows, verbose):
+def _batch_eval(metric):
+    if metric.batch is not None:
+        return metric.batch
+    return lambda X, Z, IJ: np.array(
+        [metric.scalar(X[i], Z[j]) for i, j in IJ], dtype=np.float64
+    )
+
+
+def _blocked_rows(ev, X, Z, row_ids, n_cols, block, verbose):
+    """Full distance rows through a batched evaluator, `block` rows
+    per call: one call per row would pay a dataset upload and a
+    blocking download per row (minutes of pure relay overhead at
+    scale); one call per block pays them once per `block` rows."""
+    from annchor_tpu.progress import progress
+
+    row_ids = np.asarray(row_ids, dtype=np.int64)
+    out = np.empty((row_ids.shape[0], n_cols), dtype=np.float64)
+    cols = np.arange(n_cols, dtype=np.int64)
+    for s in progress(
+        range(0, row_ids.shape[0], block), "exact rows", verbose
+    ):
+        blk = row_ids[s : s + block]
+        IJ = np.stack(
+            [np.repeat(blk, n_cols), np.tile(cols, blk.shape[0])],
+            axis=1,
+        )
+        out[s : s + blk.shape[0]] = np.asarray(
+            ev(X, Z, IJ), dtype=np.float64
+        ).reshape(blk.shape[0], n_cols)
+    return out
+
+
+def _host_knn(metric, X, k, rows, block, verbose):
     from annchor_tpu.progress import progress
 
     n = len(X)
-    ev = metric.batch if metric.batch is not None else (
-        lambda X, Z, IJ: np.array(
-            [metric.scalar(X[i], Z[j]) for i, j in IJ], dtype=np.float64
-        )
-    )
+    ev = _batch_eval(metric)
     idx_out = np.empty((rows.shape[0], k), dtype=np.int64)
     dist_out = np.empty((rows.shape[0], k), dtype=np.float64)
-    cols = np.arange(n, dtype=np.int64)
-    for t, r in enumerate(progress(rows, "exact rows", verbose)):
-        IJ = np.stack([np.full(n, r, dtype=np.int64), cols], axis=1)
-        d = np.asarray(ev(X, X, IJ), dtype=np.float64)
-        part = np.argpartition(d, min(k - 1, n - 1))[:k]
-        order = np.argsort(d[part], kind="stable")
-        idx_out[t] = part[order]
-        dist_out[t] = d[part[order]]
+    for s in progress(
+        range(0, rows.shape[0], block), "exact rows", verbose
+    ):
+        blk = rows[s : s + block]
+        # (block, n) resident at a time — never O(n^2)
+        D = _blocked_rows(ev, X, X, blk, n, block, False)
+        part = np.argpartition(D, min(k - 1, n - 1), axis=1)[:, :k]
+        d_part = np.take_along_axis(D, part, axis=1)
+        order = np.argsort(d_part, axis=1, kind="stable")
+        idx_out[s : s + blk.shape[0]] = np.take_along_axis(
+            part, order, axis=1
+        )
+        dist_out[s : s + blk.shape[0]] = np.take_along_axis(
+            d_part, order, axis=1
+        )
     return idx_out, dist_out
 
 
@@ -108,7 +143,7 @@ def exact_knn(X, func, func_kwargs=None, k=16, rows=None, block=64,
             return myers_knn(enc, k, rows=rows, block=block, verbose=verbose)
     if isinstance(eng, _DenseBatchEngine):
         return _dense_knn(eng, X, k, rows, block, verbose)
-    return _host_knn(metric, X, k, rows, verbose)
+    return _host_knn(metric, X, k, rows, block, verbose)
 
 
 def exact_rows(X, func, func_kwargs=None, rows=None, block=64,
@@ -126,17 +161,8 @@ def exact_rows(X, func, func_kwargs=None, rows=None, block=64,
             from annchor_tpu.ops.levenshtein_myers import myers_rows
 
             return myers_rows(enc, rows, block=block, verbose=verbose)
-    out = np.empty((rows.shape[0], n), dtype=np.float64)
-    cols = np.arange(n, dtype=np.int64)
-    ev = metric.batch if metric.batch is not None else (
-        lambda X, Z, IJ: np.array(
-            [metric.scalar(X[i], Z[j]) for i, j in IJ], dtype=np.float64
-        )
-    )
-    for t, r in enumerate(rows):
-        IJ = np.stack([np.full(n, r, dtype=np.int64), cols], axis=1)
-        out[t] = np.asarray(ev(X, X, IJ), dtype=np.float64)
-    return out
+    return _blocked_rows(_batch_eval(metric), X, X, rows, n, block,
+                         verbose)
 
 
 def exact_query_rows(X, Q, func, func_kwargs=None, block=64, verbose=False):
@@ -146,20 +172,17 @@ def exact_query_rows(X, Q, func, func_kwargs=None, block=64, verbose=False):
     eng = metric.batch
     if isinstance(eng, _LevenshteinEngine):
         XQ = list(X) + list(Q)
-        enc = eng._encode(XQ)[2]
+        # transient encode: the X+Q list is throwaway — caching it
+        # would evict the fitted dataset's encoding
+        enc = eng._encode_transient(XQ)[2]
         if enc is not None:
             from annchor_tpu.ops.levenshtein_myers import myers_rows
 
             rows = np.arange(nx, nx + nq, dtype=np.int64)
             return myers_rows(enc, rows, block=block, n_keep=nx,
                               verbose=verbose)
-    out = np.empty((nq, nx), dtype=np.float64)
-    cols = np.arange(nx, dtype=np.int64)
-    for t in range(nq):
-        IJ = np.stack([np.full(nx, t, dtype=np.int64), cols], axis=1)
-        # engines take (X, Z, IJ) with IJ[:, 0] indexing X
-        out[t] = np.asarray(metric.batch(Q, X, IJ), dtype=np.float64) \
-            if metric.batch is not None else np.array(
-                [metric.scalar(Q[t], X[j]) for j in cols], dtype=np.float64
-        )
-    return out
+    # engines take (X, Z, IJ) with IJ[:, 0] indexing the first arg
+    return _blocked_rows(
+        _batch_eval(metric), Q, X,
+        np.arange(nq, dtype=np.int64), nx, block, verbose,
+    )

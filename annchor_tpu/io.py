@@ -88,6 +88,25 @@ def _common_payload(ann, fmt):
             if getattr(ann, "_ng_exact", None) is not None
             else np.ones_like(ann.neighbor_graph[0], dtype=bool)
         ),
+        # pair-build / budget knobs: load(..., rebuild_pairs=True)
+        # must rebuild the SAME pair list the fit tracked, and the
+        # post-load refine/query budget defaults key off p_work —
+        # without these a loaded index would silently rebuild under
+        # ctor defaults (caller kwargs still win at load)
+        "p_work": np.float64(ann.p_work),
+        "refine_frac": np.float64(ann.refine_frac),
+        "loc_min": np.int64(ann.loc_min),
+        "n_samples": np.int64(ann.n_samples),
+        "pair_cap": np.int64(
+            -1 if ann.pair_cap is None else ann.pair_cap
+        ),
+        "pair_cap_factor": np.float64(
+            np.nan if ann.pair_cap_factor is None else ann.pair_cap_factor
+        ),
+        "max_resident_pairs": np.int64(
+            -1 if ann.max_resident_pairs is None
+            else ann.max_resident_pairs
+        ),
     }
     payload.update(_model_payload(ann))
     return payload
@@ -162,6 +181,20 @@ def load_annchor(path: str, X, func, func_kwargs=None,
             f"got a dataset of {len(X)}"
         )
 
+    # persisted fit/build knobs first, explicit caller kwargs win
+    ctor = {}
+    if "p_work" in z.files:
+        ctor["p_work"] = float(z["p_work"])
+        ctor["refine_frac"] = float(z["refine_frac"])
+        ctor["loc_min"] = int(z["loc_min"])
+        ctor["n_samples"] = int(z["n_samples"])
+        if int(z["pair_cap"]) >= 0:
+            ctor["pair_cap"] = int(z["pair_cap"])
+        if np.isfinite(float(z["pair_cap_factor"])):
+            ctor["pair_cap_factor"] = float(z["pair_cap_factor"])
+        if int(z["max_resident_pairs"]) >= 0:
+            ctor["max_resident_pairs"] = int(z["max_resident_pairs"])
+    ctor.update(kwargs)
     ann = Annchor(
         X,
         func,
@@ -171,7 +204,7 @@ def load_annchor(path: str, X, func, func_kwargs=None,
         locality=int(z["locality"]),
         loc_thresh=int(z["loc_thresh"]),
         is_metric=bool(z["is_metric"]),
-        **kwargs,
+        **ctor,
     )
     ann.A = z["A"]
     ann.D = z["D"]

@@ -87,7 +87,7 @@ class _DenseBatchEngine:
         self.chunk = chunk
         self._jit = None
         self._sharded = {}
-        self._dev_cache = None
+        self._dev_cache = {}  # up to two datasets (fit X + query Q)
 
     def _raw_kernel(self):
         import jax.numpy as jnp
@@ -144,8 +144,8 @@ class _DenseBatchEngine:
         IJ = np.asarray(IJ, dtype=np.int64)
         if IJ.shape[0] == 0:
             return np.zeros(0, dtype=np.float64)
-        Xd = jnp.asarray(np.asarray(X), dtype=jnp.float32)
-        Zd = Xd if Z is X else jnp.asarray(np.asarray(Z), dtype=jnp.float32)
+        Xd = self._data_dev(X)  # repeated calls reuse the upload
+        Zd = Xd if Z is X else self._data_dev(Z)
 
         from annchor_tpu import parallel
 
@@ -169,13 +169,15 @@ class _DenseBatchEngine:
         return np.asarray(jnp.concatenate(outs)).astype(np.float64)
 
     def _data_dev(self, X):
-        hit = self._dev_cache
+        hit = self._dev_cache.get(id(X))
         if hit is not None and hit[0] is X:
             return hit[1]
         import jax.numpy as jnp
 
         Xd = jnp.asarray(np.asarray(X), dtype=jnp.float32)
-        self._dev_cache = (X, Xd)  # strong ref pins id(X)
+        if len(self._dev_cache) >= 2:  # bound pinned device memory
+            self._dev_cache.clear()
+        self._dev_cache[id(X)] = (X, Xd)  # strong ref pins id(X)
         return Xd
 
     def batch_dev_ready(self, X):
@@ -282,6 +284,23 @@ class _LevenshteinEngine:
         self._cache = {}
         self._pallas_ok = None
 
+    def _build_enc(self, X):
+        seq = list(X)
+        if len(seq) and not isinstance(seq[0], str):
+            codes, lengths = _lev_ops.encode_sequences(seq)
+        else:
+            codes, lengths = _lev_ops.encode_strings(seq)
+        myers = None
+        if self.use_myers:
+            from annchor_tpu.ops.levenshtein_myers import MyersEncoding
+
+            myers = MyersEncoding.from_codes(codes, lengths)
+        if myers is None:
+            import jax.numpy as jnp
+
+            codes = jnp.asarray(codes)  # upload once, reuse per call
+        return (codes, lengths, myers)
+
     def _encode(self, X):
         # keyed by identity, but the cache entry holds a strong ref to
         # X so its id() cannot be recycled while the entry is live
@@ -290,23 +309,16 @@ class _LevenshteinEngine:
         hit = self._cache.get(key)
         enc = hit[1] if hit is not None and hit[0] is X else None
         if enc is None:
-            seq = list(X)
-            if len(seq) and not isinstance(seq[0], str):
-                codes, lengths = _lev_ops.encode_sequences(seq)
-            else:
-                codes, lengths = _lev_ops.encode_strings(seq)
-            myers = None
-            if self.use_myers:
-                from annchor_tpu.ops.levenshtein_myers import MyersEncoding
-
-                myers = MyersEncoding.from_codes(codes, lengths)
-            if myers is None:
-                import jax.numpy as jnp
-
-                codes = jnp.asarray(codes)  # upload once, reuse per call
-            enc = (codes, lengths, myers)
+            enc = self._build_enc(X)
             self._cache = {key: (X, enc)}  # hold one dataset at a time
         return enc
+
+    def _encode_transient(self, X):
+        """Encode a throwaway list (e.g. the X+Q concatenation of a
+        query-row oracle) WITHOUT entering the single-slot dataset
+        cache — caching it would evict the fitted dataset and force a
+        full re-encode + device re-upload on the next metric call."""
+        return self._build_enc(X)
 
     def _pairs(self, enc, I, J):
         codes, lengths, myers = enc
@@ -639,7 +651,10 @@ def _fanout_scalar(f, X, Z, IJ, backend, verbose=False):
             dtype=np.float64,
         )
     pool = _executor(backend or "threading")
-    nchunk = max(64, m // (4 * ncpu))
+    # cap the chunk size: the hang deadline below scales with it, and
+    # an uncapped m//(4*ncpu) on a single-core host would stretch a
+    # dead-worker stall from a minute into hours
+    nchunk = max(64, min(4096, m // (4 * ncpu)))
     jobs = []
     for s in range(0, m, nchunk):
         blk = IJ[s : s + nchunk]

@@ -79,6 +79,22 @@ def refine_neighbor_graph(ann, rounds=2, budget=None):
         ann.evals += d.shape[0]
         return d
 
+    # exact store carried by a loaded v2 checkpoint (io.py): sorted
+    # canonical (min*nx+max) keys with the fit's computed distances.
+    # Candidates found here are free — no metric call, no budget.
+    store_keys = getattr(ann, "_exact_keys", None)
+    store_vals = getattr(ann, "_exact_vals", None)
+    have_store = store_keys is not None and store_keys.size > 0
+
+    def _store_lookup(keys):
+        """(hit_mask, values-for-hits) for canonical pair keys."""
+        pos = np.clip(
+            np.searchsorted(store_keys, keys),
+            0, store_keys.shape[0] - 1,
+        )
+        hit = store_keys[pos] == keys
+        return hit, store_vals[pos[hit]]
+
     # canonical pair pool {min*nx+max: value} as sorted arrays
     rows0 = np.repeat(np.arange(nx, dtype=np.int64), kk)
     cols0 = ngi[:, 1:].reshape(-1).astype(np.int64)
@@ -106,6 +122,13 @@ def refine_neighbor_graph(ann, rounds=2, budget=None):
     spent = 0
     stats.append({"stage": "certify", "t0": time.perf_counter()})
     todo = np.flatnonzero(~pool_exact)
+    if todo.size and have_store:
+        hit, vals = _store_lookup(pool_keys[todo])
+        if hit.any():
+            pool_vals[todo[hit]] = vals
+            pool_exact[todo[hit]] = True
+            stats[-1]["store_hits"] = int(hit.sum())
+            todo = todo[~hit]
     if todo.size and budget > 0:
         # certify predicted reported edges, smallest first (they
         # sit highest in their rows' top-k lists)
@@ -227,10 +250,29 @@ def refine_neighbor_graph(ann, rounds=2, budget=None):
             else np.ones(ckey.shape[0], dtype=bool)
         )
         ckey, ub, rank = ckey[new], ub[new], rank[new]
+        hits_merged = 0
+        if have_store and ckey.size:
+            # candidates the fit already evaluated merge for free
+            hit, hvals = _store_lookup(ckey)
+            if hit.any():
+                hits_merged = int(hit.sum())
+                pool_keys = np.concatenate([pool_keys, ckey[hit]])
+                pool_vals = np.concatenate([pool_vals, hvals])
+                pool_exact = np.concatenate(
+                    [pool_exact, np.ones(hits_merged, dtype=bool)]
+                )
+                order_s = np.argsort(pool_keys, kind="stable")
+                pool_keys = pool_keys[order_s]
+                pool_vals = pool_vals[order_s]
+                pool_exact = pool_exact[order_s]
+                stats[-1]["store_hits"] = hits_merged
+                ckey, ub, rank = ckey[~hit], ub[~hit], rank[~hit]
         if ckey.size == 0:
             stats[-1]["wall_s"] = round(
                 time.perf_counter() - stats[-1].pop("t0"), 3
             )
+            if hits_merged:
+                continue  # the free merges changed the graph; keep going
             break
         if ckey.shape[0] > share:
             keep = np.lexsort((ub, rank))[:share]

@@ -39,6 +39,24 @@ def test_compare_neighbor_graphs_counts_injected_errors(blobs):
     assert err == 30
 
 
+def test_compare_neighbor_graphs_row_count_mismatch(blobs):
+    """The reference zips rows, silently comparing the common prefix
+    when the graphs differ in length — a subset graph vs a full graph
+    must not crash and must score only the shared rows."""
+    X, _ = blobs
+    bf = at.BruteForce(X, "euclidean")
+    bf.fit()
+    ngi, ngd = bf.neighbor_graph
+    sub = (ngi[:100], ngd[:100])
+    assert at.compare_neighbor_graphs(sub, bf.neighbor_graph, 15) == 0
+    assert at.compare_neighbor_graphs(bf.neighbor_graph, sub, 15) == 0
+    bad_d = ngd[:100].copy()
+    bad_d[:, 5] += 50.0
+    assert at.compare_neighbor_graphs(
+        (ngi[:100], bad_d), bf.neighbor_graph, 15
+    ) == 100
+
+
 # ---------------------------------------------------------------------------
 # budget accounting (reference test_annchor.py:148-160)
 

@@ -86,3 +86,34 @@ def test_exact_knn_full_population_compare(strings):
     idx, dist = at.exact_knn(strings, "levenshtein", k=k)
     errors = at.compare_neighbor_graphs((idx, dist), (idx, dist), k)
     assert errors == 0
+
+
+def test_exact_query_rows_preserves_engine_cache(strings):
+    """The X+Q oracle must not evict the fitted dataset's encoding
+    from the levenshtein engine's single-slot cache (the next metric
+    call on X would re-encode + re-upload the whole corpus)."""
+    import annchor_tpu.metrics as metrics
+
+    f = at.get_function_from_input("levenshtein", None)
+    eng = f.batch
+    assert isinstance(eng, metrics._LevenshteinEngine)
+    enc_before = eng._encode(strings)  # prime the cache with X
+    Q = strings[:5]
+    at.exact_query_rows(strings, Q, f)
+    # still a cache hit for X: identical encoding object
+    assert eng._encode(strings) is enc_before
+
+
+def test_exact_rows_scalar_metric_blocked(blobs):
+    """The no-batch-engine fallback must produce correct full rows
+    (exercises the blocked scalar path)."""
+    X, _ = blobs
+    X = X[:60]
+
+    f = at.Metric(lambda a, b: float(np.abs(a - b).sum()), name="l1")
+    rows = np.array([3, 17, 41])
+    R = at.exact_rows(list(X), f, rows=rows, block=2)
+    for t, r in enumerate(rows):
+        np.testing.assert_allclose(
+            R[t], np.abs(X - X[r]).sum(axis=1), rtol=1e-9
+        )

@@ -190,6 +190,9 @@ def test_v2_exact_store_values_correct(sparse_fitted, tmp_path):
 
 
 def test_v2_rebuild_pairs(sparse_fitted, tmp_path):
+    """The build knobs (pair_cap, p_work, loc_min, ...) persist in the
+    checkpoint: rebuild_pairs must reproduce the fit's tracked pair
+    list WITHOUT the caller re-supplying the kwargs."""
     ann, X = sparse_fitted
     p = str(tmp_path / "sparse.npz")
     ann.save(p)
@@ -197,11 +200,12 @@ def test_v2_rebuild_pairs(sparse_fitted, tmp_path):
 
     os.environ["ANNCHOR_TPU_FORCE_SPARSE"] = "1"
     try:
-        ann2 = at.Annchor.load(
-            p, X, "euclidean", rebuild_pairs=True, pair_cap=100,
-        )
+        ann2 = at.Annchor.load(p, X, "euclidean", rebuild_pairs=True)
     finally:
         os.environ.pop("ANNCHOR_TPU_FORCE_SPARSE", None)
+    assert ann2.pair_cap == ann.pair_cap == 100
+    assert ann2.p_work == ann.p_work
+    assert ann2.loc_min == ann.loc_min
     assert ann2._ij_dev is not None
     # identical deterministic build: same tracked pair count
     assert int(ann2._ij_dev[2]) == int(ann._ij_dev[2])
@@ -218,3 +222,72 @@ def test_v2_include_exact_false(sparse_fitted, tmp_path):
         np.asarray(ann2.neighbor_graph[0]),
         np.asarray(ann.neighbor_graph[0]),
     )
+
+
+def test_v2_loaded_refine_reuses_exact_store(sparse_fitted, tmp_path):
+    """refine_neighbor_graph on a loaded v2 index must serve 2-hop
+    candidates the fit already evaluated from the persisted exact
+    store instead of re-paying metric calls for them."""
+    ann, X = sparse_fitted
+    p = str(tmp_path / "sparse.npz")
+    ann.save(p)
+    ann2 = at.Annchor.load(p, X, "euclidean")
+    assert ann2._exact_keys.size > 0
+    evals0 = ann2.evals
+    budget = 200
+    ann2.refine_neighbor_graph(rounds=2, budget=budget)
+    spent = ann2.evals - evals0
+    hits = sum(s.get("store_hits", 0) for s in ann2._refine_stats)
+    # the pool seeds from graph edges the fit computed exactly, so the
+    # expansion must find at least some stored pairs for free
+    assert hits > 0
+    assert spent <= budget
+    # every refined-graph distance must be the true metric value
+    gi, gd = ann2.neighbor_graph
+    gi, gd = np.asarray(gi), np.asarray(gd)
+    rows = np.arange(0, ann2.nx, 37)
+    for r in rows:
+        d = np.linalg.norm(X[gi[r, 1:]] - X[r], axis=1)
+        np.testing.assert_allclose(gd[r, 1:], d, rtol=1e-5, atol=1e-5)
+
+
+def test_env_pair_cap_zero_overrides_ctor(tmp_path):
+    """ANNCHOR_TPU_PAIR_CAP=0 must restore the derived-cap behavior
+    even when the constructor passed an explicit pair_cap (the env
+    var is documented as the sweep override)."""
+    import os
+
+    from sklearn.datasets import make_blobs
+
+    X, _ = make_blobs(
+        n_samples=600, centers=6, n_features=4, random_state=7
+    )
+    os.environ["ANNCHOR_TPU_FORCE_SPARSE"] = "1"
+    try:
+        ann_cap = at.Annchor(
+            X, "euclidean", n_anchors=10, n_neighbors=8,
+            n_samples=800, p_work=0.3, random_seed=1, pair_cap=60,
+        )
+        ann_cap.get_anchors()
+        ann_cap.get_locality()
+        os.environ["ANNCHOR_TPU_PAIR_CAP"] = "0"
+        try:
+            ann_env = at.Annchor(
+                X, "euclidean", n_anchors=10, n_neighbors=8,
+                n_samples=800, p_work=0.3, random_seed=1, pair_cap=60,
+            )
+            ann_env.get_anchors()
+            ann_env.get_locality()
+        finally:
+            os.environ.pop("ANNCHOR_TPU_PAIR_CAP", None)
+        ann_def = at.Annchor(
+            X, "euclidean", n_anchors=10, n_neighbors=8,
+            n_samples=800, p_work=0.3, random_seed=1,
+        )
+        ann_def.get_anchors()
+        ann_def.get_locality()
+    finally:
+        os.environ.pop("ANNCHOR_TPU_FORCE_SPARSE", None)
+    # env 0 == no explicit cap (derived default), != the ctor cap
+    assert int(ann_env._ij_dev[2]) == int(ann_def._ij_dev[2])
+    assert int(ann_cap._ij_dev[2]) != int(ann_def._ij_dev[2])
