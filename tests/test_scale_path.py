@@ -620,3 +620,42 @@ def test_pair_cap_factor_ctor_kwarg(_force_sparse):
     big = at.Annchor(X, "euclidean", pair_cap_factor=0.9, **kwargs)
     big.fit()
     assert small._ij_dev[2] < big._ij_dev[2]
+
+
+def test_query_on_budget_capped_sparse_fit(_force_sparse):
+    """Out-of-sample query against a pair-capped scale-path fit: the
+    bit-packed query candidate masks + graph-guided refinement must
+    recover the true rows given an adequate budget, and recall must
+    rise monotonically-ish with p_work (budget starvation degrades
+    gracefully, it does not break)."""
+    import numpy as np
+    from sklearn.datasets import make_blobs
+
+    import annchor_tpu as at
+
+    X, _ = make_blobs(
+        n_samples=2200, centers=12, n_features=5, random_state=9
+    )
+    Q = X[2000:]
+    X = X[:2000]
+    ann = at.Annchor(
+        X, "euclidean", n_anchors=24, n_neighbors=10,
+        n_samples=2000, p_work=0.05, loc_thresh=2, random_seed=42,
+        pair_cap=80,
+    )
+    ann.fit()
+    R = at.exact_query_rows(list(X), list(Q), "euclidean")
+    order = np.argsort(R, axis=1, kind="stable")[:, :10]
+
+    def recall(pw):
+        gi, _ = ann.query(Q, nn=10, p_work=pw)
+        got = np.asarray(gi)[:, :10]
+        hits = sum(
+            len(set(order[t].tolist()) & set(got[t].tolist()))
+            for t in range(len(Q))
+        )
+        return hits / (len(Q) * 10)
+
+    r_low, r_high = recall(0.02), recall(0.3)
+    assert r_high >= 0.99
+    assert r_low <= r_high + 0.02  # starvation degrades, never breaks
