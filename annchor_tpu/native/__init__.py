@@ -136,11 +136,24 @@ def _cptr(arr, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
 
+_MAX_EMD_BINS = 65535  # solver packs (bin_i << 16 | bin_j) cell ids
+
+
+def _check_bins(nbins: int) -> None:
+    if nbins > _MAX_EMD_BINS:
+        raise ValueError(
+            f"exact EMD supports at most {_MAX_EMD_BINS} histogram bins "
+            f"(got {nbins}); use the Sinkhorn scout engine for larger "
+            "supports"
+        )
+
+
 def emd_single(a, b, cost) -> float:
     """Exact 1-Wasserstein distance between two histograms (network
     simplex)."""
     lib = get_lib()
     a = np.ascontiguousarray(a, dtype=np.float64)
+    _check_bins(a.shape[0])
     b = np.ascontiguousarray(b, dtype=np.float64)
     cost = np.ascontiguousarray(cost, dtype=np.float64)
     return lib.emd_single(
@@ -174,6 +187,7 @@ def emd_batch(X, Y, cost, I, J) -> np.ndarray:
     I = np.ascontiguousarray(I, dtype=np.int64)
     J = np.ascontiguousarray(J, dtype=np.int64)
     m = I.shape[0]
+    _check_bins(X.shape[1])
     out = np.zeros(m, dtype=np.float64)
     rc = lib.emd_batch(
         _cptr(X, ctypes.c_double),
