@@ -58,18 +58,56 @@ def main(exact: bool = False, verbose: bool = False):
         verbose=verbose,
     )
 
+    # Instrument the serial host EMD: cumulative seconds spent inside
+    # native.emd_batch per fit, so the JSON line decomposes the wall
+    # time into (host EMD) + (device programs + trips).  The wrapper
+    # adds one perf_counter pair per batch call — noise, not cost.
+    from annchor_tpu import native
+
+    _emd_orig = native.emd_batch
+    emd_stats = {"t": 0.0, "n": 0}
+
+    def _emd_timed(Xa, Za, Mc, I, J):
+        t0 = time.perf_counter()
+        out = _emd_orig(Xa, Za, Mc, I, J)
+        emd_stats["t"] += time.perf_counter() - t0
+        emd_stats["n"] += len(I)
+        return out
+
+    native.emd_batch = _emd_timed
+
     def build():
+        emd_stats["t"] = 0.0
+        emd_stats["n"] = 0
         ann = at.Annchor(X, **kwargs)
         t0 = time.perf_counter()
         ann.fit()
-        return ann, time.perf_counter() - t0
+        return ann, time.perf_counter() - t0, emd_stats["t"], emd_stats["n"]
 
-    _, warm_s = build()  # compile warm-up (numba JIT analogue)
+    _, warm_s, _, _ = build()  # compile warm-up (numba JIT analogue)
+
+    # In-session EMD microbench: the same native batch on random pairs
+    # with the device idle.  Standalone (no TPU session) this measures
+    # ~42 us/call on digits histograms; a materially higher number
+    # inside the session is host-core contention from the relay
+    # client, not the solver.
+    rng = np.random.default_rng(0)
+    mb = 50_000
+    I = rng.integers(0, len(X), mb)
+    J = rng.integers(0, len(X), mb)
+    Xc = np.ascontiguousarray(X, np.float64)
+    Mc = np.ascontiguousarray(M, np.float64)
+    _emd_orig(Xc, Xc, Mc, I[:1000], J[:1000])  # touch caches
+    t0 = time.perf_counter()
+    _emd_orig(Xc, Xc, Mc, I, J)
+    emd_us_idle = 1e6 * (time.perf_counter() - t0) / mb
+
     # best-of-4: the fit is relay-trip bound and per-run dispatch
     # latency swings ~2x between sessions; minimums are the stable
     # figure (same rationale as bench.py's best-of-8)
     runs = [build() for _ in range(4)]
     dt = min(r[1] for r in runs)
+    best = min(runs, key=lambda r: r[1])
     errors = max(
         at.compare_neighbor_graphs(r[0].neighbor_graph, gt, k)
         for r in runs
@@ -91,6 +129,9 @@ def main(exact: bool = False, verbose: bool = False):
         "mode": "exact" if exact else "sinkhorn_scout+exact_certify",
         "p_work": kwargs["p_work"],
         "n": len(X),
+        "emd_host_s": round(best[2], 3),
+        "emd_host_calls": int(best[3]),
+        "emd_us_idle": round(emd_us_idle, 1),
     }
     print(json.dumps(result))
     return 0 if errors < ERROR_BUDGET else 1
