@@ -1255,9 +1255,15 @@ class Annchor:
                 D[i, j] = D[j, i] = d + eps
         return D
 
-    def query(self, Q, nn=15, p_work=0.3, get_exact_query_ijs=None):
+    def query(self, Q, nn=15, p_work=0.3, get_exact_query_ijs=None,
+              loc_thresh=None, locality=None):
         """Query new points against the fitted index
-        (reference annchor.py:643-683)."""
+        (reference annchor.py:643-683).
+
+        loc_thresh/locality (extension) override the fitted filter
+        knobs for query-side candidate generation only — widen the
+        query candidate pool of a selectively-tuned scale index
+        without refitting; the eval budget stays p_work."""
         from annchor_tpu.query import query_
 
         nq = len(Q)
@@ -1271,6 +1277,7 @@ class Annchor:
         return query_(
             self, Q, nn=nn, p_work=p_work,
             get_exact_query_ijs=get_exact_query_ijs,
+            loc_thresh=loc_thresh, locality=locality,
         )
 
     def save(self, path, include_exact=True):

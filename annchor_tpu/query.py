@@ -402,11 +402,19 @@ def legacy_query_(ann, Z, get_exact_query_ijs=None, k=5, alpha=1.4, beta=1.4):
     return out_i, out_d
 
 
-def query_(ann, Q, nn=15, p_work=0.3, get_exact_query_ijs=None):
+def query_(ann, Q, nn=15, p_work=0.3, get_exact_query_ijs=None,
+           loc_thresh=None, locality=None):
     """Full query pipeline (reference query_functions.py:183-212).
 
     Returns (ngi, ngd): the nn nearest database indices/distances per
     query row.
+
+    loc_thresh/locality override the fitted filter knobs for the
+    QUERY-side candidate generation only (extension beyond the
+    reference): a budget-capped scale fit tuned selective for build
+    speed can widen its query candidate coverage without refitting —
+    the eval budget is still p_work, wider candidates only give the
+    ranking more to choose from.
     """
     if get_exact_query_ijs is not None:
         ann.get_exact_query_ijs = get_exact_query_ijs
@@ -429,7 +437,11 @@ def query_(ann, Q, nn=15, p_work=0.3, get_exact_query_ijs=None):
     # absolutely-accurate-but-inconsistent ones (measured: exact query
     # anchors against a scout-fitted index LOWER recall)
     QD = get_query_anchor_dists(ann, Q, eval_geq)
-    check = query_candidates(ann.S, QD, ann.locality, ann.loc_thresh)
+    check = query_candidates(
+        ann.S, QD,
+        ann.locality if locality is None else locality,
+        ann.loc_thresh if loc_thresh is None else loc_thresh,
+    )
     IJs, P_idx, P_cnt, Qfeatures, Qncm = get_query_features(
         ann, Q, QD, check
     )

@@ -659,3 +659,43 @@ def test_query_on_budget_capped_sparse_fit(_force_sparse):
     r_low, r_high = recall(0.02), recall(0.3)
     assert r_high >= 0.99
     assert r_low <= r_high + 0.02  # starvation degrades, never breaks
+
+
+def test_query_loc_thresh_override(_force_sparse):
+    """query(loc_thresh=, locality=) widens the QUERY-side candidate
+    pool of a selectively-filtered fit without refitting (extension;
+    the fitted filter knobs stay untouched).  Wider candidates with
+    the same eval budget must never lose recall beyond noise, and on
+    a coverage-limited index they gain it."""
+    import numpy as np
+    from sklearn.datasets import make_blobs
+
+    import annchor_tpu as at
+
+    X, _ = make_blobs(
+        n_samples=2200, centers=12, n_features=5, random_state=11
+    )
+    Q = X[2000:]
+    X = X[:2000]
+    ann = at.Annchor(
+        X, "euclidean", n_anchors=24, n_neighbors=10,
+        n_samples=2000, p_work=0.05, loc_thresh=3, random_seed=42,
+        pair_cap=80,
+    )
+    ann.fit()
+    R = at.exact_query_rows(list(X), list(Q), "euclidean")
+    order = np.argsort(R, axis=1, kind="stable")[:, :10]
+
+    def recall(**kw):
+        gi, _ = ann.query(Q, nn=10, p_work=0.3, **kw)
+        got = np.asarray(gi)[:, :10]
+        hits = sum(
+            len(set(order[t].tolist()) & set(got[t].tolist()))
+            for t in range(len(Q))
+        )
+        return hits / (len(Q) * 10)
+
+    base = recall()
+    wide = recall(loc_thresh=2, locality=8)
+    assert wide >= base - 0.02
+    assert ann.loc_thresh == 3  # fit knobs untouched
