@@ -671,6 +671,13 @@ def _accum_band_counts(P_cnt, rowcnt, colcnt, row_off):
     return jax.lax.dynamic_update_slice(P_cnt, cur + rowcnt, (row_off,))
 
 
+# max elements of the dense (rows, nx) panel a single extraction
+# program may sort/scan: int32 values + top_k workspace put its HBM
+# peak at ~3x this in bytes*4.  2^28 => ~1 GB sort input, ~3 GB peak.
+# Module-level so tests can shrink it to exercise the row-slice path.
+_EXTRACT_ELEMS = 1 << 28
+
+
 @functools.partial(jax.jit, static_argnames=("cap",))
 def _extract_dense(keep, row_off, cap: int):
     """Pair coordinates of a dense band keep mask, row-major order
@@ -1126,23 +1133,39 @@ def candidate_pairs_device_budgeted(
         keep, rowcnt, colcnt, kept = _band_keep2_dense(
             D32p, Sp, Sb, Db, eb, effp, thr, np.int32(s), cchunk
         )
-        kept = int(kept)  # blocking: bounds in-flight keep state
+        rc_host = np.asarray(rowcnt)  # blocking: bounds in-flight state
+        kept = int(rc_host.sum())
         P_cnt = _accum_band_counts(P_cnt, rowcnt, colcnt, np.int32(s))
         if kept == 0:
             continue
-        kcap = _cap_bucket(kept)
         # per-row top-k extraction beats the flatnonzero scatter ~6x on
-        # TPU (profile_budget_build.py); it needs K >= the band's max
-        # row count, so fall back to flatnonzero when rows are so heavy
-        # the top_k would scan most of the row anyway
-        kmax = int(jnp.max(rowcnt))
-        K = min(max(1 << max(kmax - 1, 0).bit_length(), 128), nxp)
-        if K <= nxp // 8:
-            ki, kj = _extract_dense_topk(keep, np.int32(s), K, kcap)
-        else:
-            ki, kj = _extract_dense(keep, np.int32(s), kcap)
-        parts_i.append(ki[:kept])
-        parts_j.append(kj[:kept])
+        # TPU (profile_budget_build.py); it needs K >= the max per-row
+        # count, so fall back to flatnonzero when rows are so heavy the
+        # top_k would scan most of the row anyway.  The extraction
+        # sorts/scans a dense (rows, nxp) int panel — unlike the bins /
+        # keep programs it cannot stream in column chunks, so split the
+        # band into row slices bounding the sort input (the whole-band
+        # top_k at nx=500k is a 17 GB allocation); slices concatenate
+        # in row-major order, so the pair list is bit-identical to the
+        # whole-band extraction
+        rows_per = max(256, min(nblk, _EXTRACT_ELEMS // max(nxp, 1)))
+        for r0 in range(0, nblk, rows_per):
+            r1 = min(r0 + rows_per, nblk)
+            ksub = int(rc_host[r0:r1].sum())
+            if ksub == 0:
+                continue
+            keep_sub = keep[r0:r1] if r1 - r0 < nblk else keep
+            kcap = _cap_bucket(ksub)
+            kmax = int(rc_host[r0:r1].max())
+            K = min(max(1 << max(kmax - 1, 0).bit_length(), 128), nxp)
+            if K <= nxp // 8:
+                ki, kj = _extract_dense_topk(
+                    keep_sub, np.int32(s + r0), K, kcap
+                )
+            else:
+                ki, kj = _extract_dense(keep_sub, np.int32(s + r0), kcap)
+            parts_i.append(ki[:ksub])
+            parts_j.append(kj[:ksub])
         m += kept
     if parts_i:
         ij_i = jnp.concatenate(parts_i)

@@ -398,6 +398,38 @@ def test_budgeted_pair_build_multiband_counts(cap):
         ).all()
 
 
+def test_budgeted_build_extraction_row_slices():
+    """The pass-2 extraction's row-slice split (bounds the dense
+    top_k/flatnonzero sort panel — a whole 4096-row band at nx=500k
+    is a 17 GB allocation) must be bit-identical to the whole-band
+    extraction: slices concatenate in row-major order."""
+    from annchor_tpu.ops import locality
+
+    rng = np.random.default_rng(11)
+    nx = 900
+    D = rng.random((nx, 16))
+    args = (D, 5, 2, 30, 40)
+    ref = locality.candidate_pairs_device_budgeted(*args, block=512)
+    old = locality._EXTRACT_ELEMS
+    locality._EXTRACT_ELEMS = 1  # rows_per floors at 256 < block 512
+    try:
+        split = locality.candidate_pairs_device_budgeted(
+            *args, block=512
+        )
+    finally:
+        locality._EXTRACT_ELEMS = old
+    assert ref[2] == split[2]
+    np.testing.assert_array_equal(
+        np.asarray(ref[0]), np.asarray(split[0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref[1]), np.asarray(split[1])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref[6]), np.asarray(split[6])
+    )
+
+
 def test_enemies_device_resident(_force_sparse):
     """VERDICT r2 next #5: the extras run on the live device state —
     get_nearest_enemies and annchor_selective_subset must NOT force
