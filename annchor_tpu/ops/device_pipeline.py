@@ -302,15 +302,12 @@ _pidx_from_pairs_capped = functools.partial(jax.jit, static_argnames=(
 PIDX_BUDGET_ELEMS = 1 << 29
 
 
-@functools.partial(jax.jit, static_argnames=("ncol", "cmax", "chunk"))
 def _tighten_cols(
     ij_i, ij_j, RA, ncm, lb, ub, thresh,
     ncol: int, cmax: int, chunk: int = 65536, P_idx=None,
+    col_chunk: int | None = None,
 ):
-    # chunk * ncol f32 gathers are the live working set: 0.5 GB per
-    # operand at the defaults — 4x that OOMed alongside the resident
-    # state at m ~ 10^8
-    """Column-subsampled bound tightening for large nx, one dispatch.
+    """Column-subsampled bound tightening for large nx.
 
     The full tropical self-product needs an (nx, nx) matrix; beyond
     MAX_FULL_MATRIX_NX the pseudo-anchors are restricted to the `ncol`
@@ -319,33 +316,107 @@ def _tighten_cols(
     *contender* pairs (uncomputed, lower bound under the endpoint
     threshold cap) in in-program chunks.
 
+    The (nx, ncol) panel scales with nx — 4.1 GB at nx=500k, a
+    runtime HBM OOM alongside the resident pair state (measured) — so
+    columns are processed in `col_chunk`-sized passes bounding the
+    panel to ~1 GB; lb/ub thread through the passes with max/min
+    updates, which makes the chunked result bit-identical to the
+    whole-panel program (same candidate value set, max/min are
+    order-free).  At nx <= ~130k the bound admits all 2048 columns
+    and the loop is a single pass, i.e. exactly the old program.
+
     Scatters are the TPU's weak op (~10^8 updates/s measured), so the
     panel build avoids per-pair scatters when it can: with an UNCAPPED
-    incidence matrix `P_idx`, the ncol column points' incidence rows
+    incidence matrix `P_idx`, the column points' incidence rows
     enumerate exactly the pairs that land in the panel (ncol*max_deg
     updates ~= 3.5M instead of 2*m ~= 94M; measured 0.14 s vs 2.40 s
     at the 100k/47M shape).  A degree-capped P_idx drops hub pairs, so
-    callers must pass P_idx=None then (the pair-scatter build).  The
-    validity mask is folded into the panel as +inf entries, halving
-    the contender-chunk gather traffic, and contender extraction is a
+    callers must pass P_idx=None then (the pair-scatter build; that
+    path re-scans the m pairs once per column pass).  The validity
+    mask is folded into the panel as +inf entries, halving the
+    contender-chunk gather traffic, and contender extraction is a
     cumsum + monotone scatter-max rather than flatnonzero."""
     nx = thresh.shape[0]
     m = RA.shape[0]
+    if col_chunk is None:
+        col_chunk = max(256, (1 << 28) // max(nx, 1))
+    col_chunk = min(ncol, col_chunk)
+    # pad the column list with repeats of the top column so every pass
+    # has the same compiled shape (duplicate columns redo identical
+    # max/min updates — harmless)
+    ncol_pad = ((ncol + col_chunk - 1) // col_chunk) * col_chunk
 
-    # pseudo-anchor columns: top computed-degree points
+    cols_ids, ids = _tighten_cols_prep(
+        ij_i, ij_j, ncm, lb, thresh,
+        ncol=ncol, ncol_pad=ncol_pad, cmax=cmax,
+    )
+    for c0 in range(0, ncol_pad, col_chunk):
+        cols_c = jax.lax.dynamic_slice(cols_ids, (c0,), (col_chunk,))
+        lb, ub = _tighten_cols_part(
+            ij_i, ij_j, RA, ncm, lb, ub, ids, cols_c,
+            nx=nx, chunk=chunk, n_real=min(col_chunk, ncol - c0),
+            P_idx=P_idx,
+        )
+    return lb, ub
+
+
+@functools.partial(jax.jit, static_argnames=("ncol", "ncol_pad", "cmax"))
+def _tighten_cols_prep(
+    ij_i, ij_j, ncm, lb, thresh, ncol: int, ncol_pad: int, cmax: int
+):
+    """One-shot prep for the column passes: the pseudo-anchor column
+    list (top computed-degree points, padded to the pass multiple with
+    repeats) and the contender pair ids (padded with m = sentinel:
+    positions are the running count of contenders, so the scatter
+    indices are sorted and duplicates max-reduce away)."""
+    nx = thresh.shape[0]
+    m = ncm.shape[0]
     w = (~ncm).astype(jnp.int32)
     deg = jnp.zeros(nx, dtype=jnp.int32)
     deg = deg.at[ij_i].add(w, mode="drop")
     deg = deg.at[ij_j].add(w, mode="drop")
     _, cols_ids = jax.lax.top_k(deg, ncol)
+    if ncol_pad > ncol:
+        cols_ids = jnp.concatenate([
+            cols_ids,
+            jnp.broadcast_to(cols_ids[:1], (ncol_pad - ncol,)),
+        ])
+
+    cap = jnp.maximum(jnp.take(thresh, ij_i), jnp.take(thresh, ij_j))
+    cont = ncm & (lb < cap)
+    pos = jnp.cumsum(cont.astype(jnp.int32)) - 1
+    src = jnp.where(cont, jnp.arange(m, dtype=jnp.int32), -1)
+    ids = jnp.full(cmax, -1, jnp.int32).at[pos].max(
+        src, mode="drop", indices_are_sorted=True
+    )
+    return cols_ids, jnp.where(ids >= 0, ids, m)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nx", "chunk", "n_real")
+)
+def _tighten_cols_part(
+    ij_i, ij_j, RA, ncm, lb, ub, ids, cols_ids, nx: int, chunk: int,
+    n_real: int, P_idx=None,
+):
+    """One column pass: build the (nx, col_chunk) panel E for the
+    given column subset and fold its bound updates into lb/ub over
+    the precomputed contender ids.  Columns past `n_real` are the
+    shape-padding repeats — their panel entries are masked out so the
+    incidence-path scatter keeps unique target slots."""
+    m = RA.shape[0]
+    ncol = cols_ids.shape[0]
+    cmax = ids.shape[0]
 
     # E (nx, ncol): computed distances into the column subset;
     # entries that are absent (uncomputed pair, or endpoint not a
     # column) read +inf
     if P_idx is None:
-        col_of = jnp.full(nx, -1, dtype=jnp.int32).at[cols_ids].set(
-            jnp.arange(ncol, dtype=jnp.int32)
-        )
+        # only the n_real real columns enter the point->slot map; pad
+        # slots stay +inf in E (inert under the max/min updates)
+        col_of = jnp.full(nx, -1, dtype=jnp.int32).at[
+            cols_ids[:n_real]
+        ].set(jnp.arange(n_real, dtype=jnp.int32))
         # entries that must not land are routed to column index ncol,
         # which mode="drop" discards (writing masked values instead
         # would clobber real entries)
@@ -360,8 +431,11 @@ def _tighten_cols(
     else:
         # incidence-row build: P_idx[c] lists every tracked pair at
         # column point c (pad sentinel = m); the partner endpoint is
-        # (i + j) - c.  Tracked pairs are unique, so target slots are
-        # unique; masked entries are routed out of bounds and dropped.
+        # (i + j) - c.  Tracked pairs are unique and the slot index is
+        # part of the scatter key, so target slots stay unique even
+        # across duplicate pad columns (each copy owns its slot, and
+        # its duplicate values just re-enter the max/min); masked
+        # entries are routed out of bounds and dropped.
         RA_pad = jnp.concatenate([RA, jnp.zeros(1, RA.dtype)])
         ncm_pad = jnp.concatenate([ncm, jnp.ones(1, dtype=bool)])
         ps_pad = jnp.concatenate(
@@ -381,18 +455,6 @@ def _tighten_cols(
         ].set(
             jnp.where(good, val, 0.0), mode="drop", unique_indices=True
         )
-
-    # contender pair ids (padded with m = sentinel): positions are the
-    # running count of contenders, so the scatter indices are sorted
-    # and duplicates (runs of non-contenders, src = -1) max-reduce away
-    cap = jnp.maximum(jnp.take(thresh, ij_i), jnp.take(thresh, ij_j))
-    cont = ncm & (lb < cap)
-    pos = jnp.cumsum(cont.astype(jnp.int32)) - 1
-    src = jnp.where(cont, jnp.arange(m, dtype=jnp.int32), -1)
-    ids = jnp.full(cmax, -1, jnp.int32).at[pos].max(
-        src, mode="drop", indices_are_sorted=True
-    )
-    ids = jnp.where(ids >= 0, ids, m)
 
     ij_i_pad = jnp.concatenate([ij_i, jnp.zeros(1, ij_i.dtype)])
     ij_j_pad = jnp.concatenate([ij_j, jnp.zeros(1, ij_j.dtype)])

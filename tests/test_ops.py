@@ -330,3 +330,20 @@ def test_tighten_cols_incidence_matches_pair_scatter(rng):
     assert np.array_equal(np.asarray(ub0), np.asarray(ub1))
     # the run actually tightened something (not vacuous)
     assert (np.asarray(ub0) < np.asarray(ub) - 1e-6).any()
+
+    # column-chunked passes (the nx=500k HBM guard: the (nx, ncol)
+    # panel is processed col_chunk columns at a time, including a
+    # non-dividing chunk that pads the column list with repeats) must
+    # be bit-identical to the whole-panel program, on BOTH builds
+    for ck in (16, 24):
+        lb2, ub2 = _tighten_cols(
+            *args, ncol=64, cmax=2048, chunk=512, col_chunk=ck
+        )
+        assert np.array_equal(np.asarray(lb0), np.asarray(lb2))
+        assert np.array_equal(np.asarray(ub0), np.asarray(ub2))
+        lb3, ub3 = _tighten_cols(
+            *args, ncol=64, cmax=2048, chunk=512, P_idx=P_idx,
+            col_chunk=ck,
+        )
+        assert np.array_equal(np.asarray(lb0), np.asarray(lb3))
+        assert np.array_equal(np.asarray(ub0), np.asarray(ub3))
