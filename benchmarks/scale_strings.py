@@ -99,6 +99,35 @@ def main(argv=None):
     Q = X[args.n:]  # held-out queries (empty unless --query-check)
     X = X[: args.n]
 
+    # exact check rows BEFORE the fit: the oracle only needs X, and at
+    # nx >= 5e5 running it against a fully-resident fit state OOMs the
+    # device (measured at 500k — the fit succeeded, the check crashed)
+    rng = np.random.default_rng(0)
+    rows = rng.choice(args.n, size=min(args.check_rows, args.n),
+                      replace=False)
+    R = at.exact_rows(X, "levenshtein", rows=rows, block=32)
+
+    gt = None
+    if args.exact_gt:
+        # full-population GT likewise: exact graph via blocked device
+        # columns + in-program top-k, cached per corpus
+        gt_path = (
+            f"/tmp/annchor_gt_{args.n}_{args.length}_{args.clusters}_"
+            f"{args.mutation_rate}_{args.seed}_{args.k}"
+            f"{'_q' + str(args.query_check) if args.query_check else ''}.npz"
+        )
+        t0 = time.perf_counter()
+        if os.path.exists(gt_path):
+            z = np.load(gt_path)
+            gt = (z["idx"], z["dist"])
+        else:
+            gi, gd = at.exact_knn(
+                X, "levenshtein", k=args.k, block=64, verbose=True
+            )
+            np.savez_compressed(gt_path, idx=gi, dist=gd)
+            gt = (gi, gd)
+        gt_s = time.perf_counter() - t0
+
     def build(verbose):
         ann = at.Annchor(
             X,
@@ -137,10 +166,7 @@ def main(argv=None):
         )
         expand_s = time.perf_counter() - t0
 
-    # sampled exact-recall check
-    rng = np.random.default_rng(0)
-    rows = rng.choice(args.n, size=min(args.check_rows, args.n),
-                      replace=False)
+    # sampled exact-recall check (R precomputed before the fit)
     # candidate coverage: true neighbors the locality filter admitted
     # as pairs at all (the recall ceiling; everything below it is the
     # regression/refinement ranking's miss, not the filter's)
@@ -172,9 +198,6 @@ def main(argv=None):
         if row_mask[j]:
             cand[int(j)].add(int(i))
 
-    # blocked exact rows: one device program per 32 rows (the
-    # per-row batch loop costs a relay trip per row)
-    R = at.exact_rows(X, "levenshtein", rows=rows, block=32)
     hits, total, covered, d_hits = 0, 0, 0, 0
     for t, r in enumerate(rows):
         d = R[t].copy()
@@ -197,74 +220,71 @@ def main(argv=None):
         )
         d_hits += (args.k - 1) - sum(diff.values())
 
-    if args.exact_gt:
-        # full-population error count in the reference's own metric:
-        # exact GT graph (blocked device columns + in-program top-k)
-        # and compare_neighbor_graphs over every row
-        gt_path = (
-            f"/tmp/annchor_gt_{args.n}_{args.length}_{args.clusters}_"
-            f"{args.mutation_rate}_{args.seed}_{args.k}"
-            f"{'_q' + str(args.query_check) if args.query_check else ''}.npz"
-        )
-        t0 = time.perf_counter()
-        if os.path.exists(gt_path):
-            z = np.load(gt_path)
-            gt = (z["idx"], z["dist"])
-        else:
-            gi, gd = at.exact_knn(
-                X, "levenshtein", k=args.k, block=64, verbose=True
-            )
-            np.savez_compressed(gt_path, idx=gi, dist=gd)
-            gt = (gi, gd)
-        gt_s = time.perf_counter() - t0
+    if args.exact_gt and gt is not None:
+        # full-population error count in the reference's own metric
+        # (GT computed/cached before the fit)
         errors = at.compare_neighbor_graphs(
             gt, ann.neighbor_graph, args.k
         )
+    # the fit result is the headline — post-fit extras must not lose
+    # it (a 75-minute 500k fit once died in the accuracy CHECK)
     qstats = None
     if args.query_check:
-        _ = ann.query(Q[:8], nn=args.k, p_work=args.query_p_work)  # warm
-        t0 = time.perf_counter()
-        qg = ann.query(Q, nn=args.k, p_work=args.query_p_work)
-        query_s = time.perf_counter() - t0
-        rows_q = at.exact_query_rows(X, Q, "levenshtein", verbose=True)
-        order = np.argsort(rows_q, axis=1, kind="stable")[:, : args.k]
-        gtd = np.take_along_axis(rows_q, order, axis=1)
-        q_err = at.compare_neighbor_graphs(
-            (order, gtd), qg, args.k
-        )
-        got = np.asarray(qg[0])[:, : args.k]
-        hits_q = sum(
-            len(set(order[t].tolist()) & set(got[t].tolist()))
-            for t in range(len(Q))
-        )
-        qstats = {
-            "nq": len(Q),
-            "query_s": round(query_s, 2),
-            "query_p_work": args.query_p_work,
-            "query_recall": round(hits_q / (len(Q) * args.k), 4),
-            "query_errors": int(q_err),
-        }
+        try:
+            _ = ann.query(Q[:8], nn=args.k, p_work=args.query_p_work)
+            t0 = time.perf_counter()
+            qg = ann.query(Q, nn=args.k, p_work=args.query_p_work)
+            query_s = time.perf_counter() - t0
+            rows_q = at.exact_query_rows(
+                X, Q, "levenshtein", verbose=True
+            )
+            order = np.argsort(
+                rows_q, axis=1, kind="stable"
+            )[:, : args.k]
+            gtd = np.take_along_axis(rows_q, order, axis=1)
+            q_err = at.compare_neighbor_graphs(
+                (order, gtd), qg, args.k
+            )
+            got = np.asarray(qg[0])[:, : args.k]
+            hits_q = sum(
+                len(set(order[t].tolist()) & set(got[t].tolist()))
+                for t in range(len(Q))
+            )
+            qstats = {
+                "nq": len(Q),
+                "query_s": round(query_s, 2),
+                "query_p_work": args.query_p_work,
+                "query_recall": round(hits_q / (len(Q) * args.k), 4),
+                "query_errors": int(q_err),
+            }
+        except Exception as err:  # noqa: BLE001
+            print(f"query check failed: {err!r}")
+            qstats = {"query_check_error": repr(err)[:200]}
 
     save_stats = None
     if args.save:
-        t0 = time.perf_counter()
-        ann.save(args.save)
-        save_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        ann_l = at.Annchor.load(args.save, X, "levenshtein")
-        load_s = time.perf_counter() - t0
-        ok = bool(
-            np.array_equal(
-                np.asarray(ann_l.neighbor_graph[0]),
-                np.asarray(ann.neighbor_graph[0]),
+        try:
+            t0 = time.perf_counter()
+            ann.save(args.save)
+            save_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            ann_l = at.Annchor.load(args.save, X, "levenshtein")
+            load_s = time.perf_counter() - t0
+            ok = bool(
+                np.array_equal(
+                    np.asarray(ann_l.neighbor_graph[0]),
+                    np.asarray(ann.neighbor_graph[0]),
+                )
             )
-        )
-        save_stats = {
-            "save_s": round(save_s, 2),
-            "load_s": round(load_s, 2),
-            "save_bytes": os.path.getsize(args.save),
-            "load_graph_equal": ok,
-        }
+            save_stats = {
+                "save_s": round(save_s, 2),
+                "load_s": round(load_s, 2),
+                "save_bytes": os.path.getsize(args.save),
+                "load_graph_equal": ok,
+            }
+        except Exception as err:  # noqa: BLE001
+            print(f"save/load check failed: {err!r}")
+            save_stats = {"save_error": repr(err)[:200]}
 
     result = {
         "metric": "scale_strings_build_s",
