@@ -171,12 +171,19 @@ class _DenseBatchEngine:
     def _data_dev(self, X):
         hit = self._dev_cache.get(id(X))
         if hit is not None and hit[0] is X:
+            # LRU touch: move to the end so a steady fit-side X is
+            # never the one evicted by a stream of query batches
+            self._dev_cache.pop(id(X))
+            self._dev_cache[id(X)] = hit
             return hit[1]
         import jax.numpy as jnp
 
         Xd = jnp.asarray(np.asarray(X), dtype=jnp.float32)
         if len(self._dev_cache) >= 2:  # bound pinned device memory
-            self._dev_cache.clear()
+            # evict only the least-recently-used entry (ADVICE r4:
+            # clearing both dropped the fitted X's device buffer on a
+            # second distinct query batch, forcing a full re-upload)
+            self._dev_cache.pop(next(iter(self._dev_cache)))
         self._dev_cache[id(X)] = (X, Xd)  # strong ref pins id(X)
         return Xd
 

@@ -136,7 +136,11 @@ def _cptr(arr, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
 
-_MAX_EMD_BINS = 65535  # solver packs (bin_i << 16 | bin_j) cell ids
+# Solver packs (bin_i << 16 | bin_j) cell ids into SIGNED int32_t, so
+# bin_i must stay below 1 << 15 to keep the packed id non-negative
+# (ADVICE r4: 65535 overstated the safe range — i >= 32768 overflowed
+# into the sign bit and cell >> 16 indexed negatively).
+_MAX_EMD_BINS = 32767
 
 
 def _check_bins(nbins: int) -> None:

@@ -1148,7 +1148,9 @@ def candidate_pairs_device_budgeted(
         # top_k at nx=500k is a 17 GB allocation); slices concatenate
         # in row-major order, so the pair list is bit-identical to the
         # whole-band extraction
-        rows_per = max(256, min(nblk, _EXTRACT_ELEMS // max(nxp, 1)))
+        # no row floor: past nxp ~ 2^20 a 256-row floor would let the
+        # dense panel exceed the sort budget again (ADVICE r4)
+        rows_per = max(1, min(nblk, _EXTRACT_ELEMS // max(nxp, 1)))
         for r0 in range(0, nblk, rows_per):
             r1 = min(r0 + rows_per, nblk)
             ksub = int(rc_host[r0:r1].sum())

@@ -84,7 +84,17 @@ def refine_neighbor_graph(ann, rounds=2, budget=None):
     # Candidates found here are free — no metric call, no budget.
     store_keys = getattr(ann, "_exact_keys", None)
     store_vals = getattr(ann, "_exact_vals", None)
-    have_store = store_keys is not None and store_keys.size > 0
+    # Scout/certify hybrid fits land the ACTIVE evaluator's values in
+    # the store (device_pipeline scatters the scout's approximations
+    # for exploration pairs never certified into the final graph), so
+    # a scouting ann's store is NOT a source of exact distances —
+    # reusing it would mark approximate values pool_exact and skip
+    # their certify budget (ADVICE r4).  Certified-exact stores only.
+    have_store = (
+        store_keys is not None
+        and store_keys.size > 0
+        and not getattr(ann, "_scouting", False)
+    )
 
     def _store_lookup(keys):
         """(hit_mask, values-for-hits) for canonical pair keys."""

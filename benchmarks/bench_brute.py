@@ -69,14 +69,68 @@ def bench_strings():
     })
 
 
+def bench_digits(large=False):
+    """Exact-EMD BruteForce on the digits sets.  The reference's rows:
+    digits-1797 108.233 s (doc/user_guide.rst:136-137) and PyNNDescent
+    70.988 s (:173-174) on the same machine.  Here every pair goes
+    through the native C++ network-simplex solver (~39 us/call,
+    serial on the single host core) — the graph is exact by
+    construction and doubles as a GT cross-check."""
+    import jax
+
+    import annchor_tpu as at
+
+    if large:
+        from annchor_tpu.datasets import load_digits_large as load
+        name, base = "digits_large_5620", None
+    else:
+        from annchor_tpu.datasets import load_digits as load
+        name, base = "digits_1797", 108.233
+    data = load()
+    X, M = data["X"], data["cost_matrix"]
+
+    t0 = time.time()
+    bf = at.BruteForce(X, "wasserstein", {"cost_matrix": M})
+    warm = time.time() - t0  # ctor smoke test = 20 solver calls
+
+    t0 = time.time()
+    bf.fit()
+    wall = time.time() - t0
+
+    err = at.compare_neighbor_graphs(
+        bf.neighbor_graph, data["neighbor_graph"], 25
+    )
+    rec = {
+        "metric": f"bruteforce_{name}_s",
+        "value": round(wall, 3), "unit": "s",
+        "device": jax.devices()[0].device_kind,
+        "warmup_s": round(warm, 2),
+        "pairs": int(len(X) * (len(X) - 1) // 2),
+        "errors_vs_exact_gt": int(err),
+    }
+    if base is not None:
+        rec["vs_baseline"] = round(wall / base, 4)
+    emit(rec)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--strings", action="store_true")
+    ap.add_argument("--digits", action="store_true")
+    ap.add_argument("--digits-large", action="store_true")
     args = ap.parse_args()
+    ran = False
     if args.strings:
         bench_strings()
-    else:
-        ap.error("pick a dataset: --strings")
+        ran = True
+    if args.digits:
+        bench_digits()
+        ran = True
+    if args.digits_large:
+        bench_digits(large=True)
+        ran = True
+    if not ran:
+        ap.error("pick a dataset: --strings / --digits / --digits-large")
 
 
 if __name__ == "__main__":

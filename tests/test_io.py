@@ -251,6 +251,26 @@ def test_v2_loaded_refine_reuses_exact_store(sparse_fitted, tmp_path):
         np.testing.assert_allclose(gd[r, 1:], d, rtol=1e-5, atol=1e-5)
 
 
+def test_refine_skips_store_for_scouting_ann(sparse_fitted, tmp_path):
+    """A scout/certify hybrid's persisted store holds the SCOUT's
+    values for exploration pairs (device_pipeline lands the active
+    evaluator's distances), so refine must not serve candidates from
+    it as if exact — that would admit approximate distances flagged
+    pool_exact and skip their certify budget (ADVICE r4)."""
+    ann, X = sparse_fitted
+    p = str(tmp_path / "sparse.npz")
+    ann.save(p)
+    ann2 = at.Annchor.load(p, X, "euclidean")
+    assert ann2._exact_keys.size > 0
+    # simulate a hybrid fit: the gate keys off _scouting, not the
+    # metric, so flip the flag on the loaded index directly
+    ann2._scouting = True
+    ann2._exact_eval = ann2.get_exact_ijs
+    ann2.refine_neighbor_graph(rounds=1, budget=100)
+    hits = sum(s.get("store_hits", 0) for s in ann2._refine_stats)
+    assert hits == 0
+
+
 def test_env_pair_cap_zero_overrides_ctor(tmp_path):
     """ANNCHOR_TPU_PAIR_CAP=0 must restore the derived-cap behavior
     even when the constructor passed an explicit pair_cap (the env
