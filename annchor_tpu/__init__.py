@@ -7,6 +7,28 @@ batched device metric kernels, exact native optimal transport, and
 multi-chip sharding of the pair pipeline.
 """
 
+# Persistent XLA compile cache: this jax build IGNORES the
+# JAX_COMPILATION_CACHE_DIR env var (config.compilation_cache_dir
+# stays None — measured round 5; every bench script's setdefault was a
+# no-op and the 500k first visit paid 49 min of compiles), so wire the
+# env var into the config explicitly before any compilation.  Opt out
+# by setting it empty.
+import os as _os
+
+_cache_dir = _os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR", "/tmp/annchor_tpu_xla_cache"
+)
+if _cache_dir:
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    # cache every program over 100 ms: remote-TPU compiles are the
+    # scale-path warm-up wall, and even small programs cost a relay
+    # round trip to compile
+    _jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs", 0.1
+    )
+
 from annchor_tpu.annchor import Annchor, BruteForce, compare_neighbor_graphs
 from annchor_tpu.error_predictors import SimpleStratifiedErrorRegression
 from annchor_tpu.exact import exact_knn, exact_query_rows, exact_rows

@@ -85,7 +85,7 @@ class Annchor:
         X,
         func,
         func_kwargs=None,
-        n_anchors=20,
+        n_anchors=None,
         n_neighbors=15,
         n_samples=5000,
         p_work=0.1,
@@ -94,17 +94,17 @@ class Annchor:
         regression=None,
         error_predictor=None,
         random_seed=42,
-        locality=5,
-        loc_thresh=1,
+        locality=None,
+        loc_thresh=None,
         loc_min=None,
         verbose=False,
         is_metric=True,
         get_exact_ijs=None,
         backend=None,
-        niters=2,
+        niters=None,
         lookahead=5,
         trace_dir=None,
-        refine_frac=0.0,
+        refine_frac=None,
         refine_rounds=3,
         pair_cap=None,
         pair_cap_factor=None,
@@ -113,6 +113,34 @@ class Annchor:
         self.X = X
         self.nx = len(X)
         self.N = (self.nx * (self.nx - 1)) // 2
+
+        # Scale-aware defaults (None = unset): at reference scales
+        # (nx <= 4096) every knob resolves to the reference default,
+        # so behavior is identical; on the scale path the defaults
+        # follow the measured tuning law (SCALE.md: more anchors =
+        # fewer candidate pairs at the same filter coverage —
+        # na ~ 0.3*sqrt(nx); a selective loc_thresh=3 filter; four
+        # budget iterations; 5% of p_work held back for post-fit
+        # graph expansion, which beats spending it in-fit when the
+        # pair budget caps coverage).  The last measured default-ctor
+        # 100k fit before this law cost 6x the tuned wall at 11%
+        # missing edges (VERDICT r4) — ctor kwargs are the config
+        # system, so the tuned frontier is what the defaults embody.
+        scale = self.nx > 4096
+        if n_anchors is None:
+            n_anchors = (
+                max(48, int(round(0.3 * self.nx ** 0.5 / 16.0)) * 16)
+                if scale
+                else 20
+            )
+        if locality is None:
+            locality = 5
+        if loc_thresh is None:
+            loc_thresh = 3 if scale else 1
+        if niters is None:
+            niters = 4 if scale else 2
+        if refine_frac is None:
+            refine_frac = 0.05 if scale else 0.0
 
         self.metric = get_function_from_input(func, func_kwargs)
         self.f = self.metric.scalar
@@ -1256,14 +1284,17 @@ class Annchor:
         return D
 
     def query(self, Q, nn=15, p_work=0.3, get_exact_query_ijs=None,
-              loc_thresh=None, locality=None):
+              loc_thresh=None, locality=None, seed_frac=0.5,
+              expand_rounds=3):
         """Query new points against the fitted index
         (reference annchor.py:643-683).
 
         loc_thresh/locality (extension) override the fitted filter
         knobs for query-side candidate generation only — widen the
         query candidate pool of a selectively-tuned scale index
-        without refitting; the eval budget stays p_work."""
+        without refitting; the eval budget stays p_work.
+        seed_frac/expand_rounds (extension) split the budget between
+        the error-model seed and the graph-expansion walk."""
         from annchor_tpu.query import query_
 
         nq = len(Q)
@@ -1278,6 +1309,7 @@ class Annchor:
             self, Q, nn=nn, p_work=p_work,
             get_exact_query_ijs=get_exact_query_ijs,
             loc_thresh=loc_thresh, locality=locality,
+            seed_frac=seed_frac, expand_rounds=expand_rounds,
         )
 
     def save(self, path, include_exact=True):

@@ -547,12 +547,41 @@ def _keep_counts(keep, ij_i, ij_j, nx_arr):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("nbins", "cchunk"))
+def _band_score(Db, Dc, score: str):
+    """(B, C) ranking score panel for a band-vs-chunk pair block.
+
+    "linf": the triangle lower bound max_k |D_i,k - D_j,k| — a dense
+    (B, C, na) broadcast on the VPU, the budgeted build's measured
+    wall at nx >= 5e5 (~11 s per 4096-row band, SCALE.md).
+    "rms": sqrt(mean_k (D_i,k - D_j,k)^2) — the same [0, 2*Dmax]
+    range (rms <= linf <= 2*Dmax) but in matmul form
+    (|a|^2 + |b|^2 - 2ab) so the na reduction rides the MXU; ~na x
+    less VPU work per band.  The cap then ranks candidates by RMS
+    anchor-profile difference instead of the provable bound — a
+    different (not bit-identical) tracked set; recall parity is
+    validated by benchmark before use (SCALE.md)."""
+    if score == "rms":
+        na = Db.shape[1]
+        cross = jax.lax.dot_general(
+            Db, Dc,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        sq_r = jnp.sum(Db * Db, axis=1)
+        sq_c = jnp.sum(Dc * Dc, axis=1)
+        l2sq = sq_r[:, None] + sq_c[None, :] - 2.0 * cross
+        return jnp.sqrt(jnp.maximum(l2sq, 0.0) / np.float32(na))
+    return jnp.max(jnp.abs(Db[:, None, :] - Dc[None, :, :]), axis=2)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nbins", "cchunk", "score")
+)
 def _band_bins_sym(
     D32, S, Sb, Db, eb, eff_all, row_off, inv_bin, nbins: int,
-    cchunk: int = 2048,
+    cchunk: int = 2048, score: str = "linf",
 ):
-    """int16 (B, nx_pad) binned triangle lower bounds for a row band,
+    """int16 (B, nx_pad) binned ranking scores for a row band,
     symmetric admitted view; sentinel `nbins` marks non-candidates.
 
     Caller pads the column axis of D32/S/eff_all to a multiple of
@@ -579,9 +608,7 @@ def _band_bins_sym(
         Dc = jax.lax.dynamic_slice(
             D32, (c0, 0), (cchunk, D32.shape[1])
         )
-        lb = jnp.max(
-            jnp.abs(Db[:, None, :] - Dc[None, :, :]), axis=2
-        )
+        lb = _band_score(Db, Dc, score)
         b = jnp.clip((lb * inv_bin).astype(jnp.int32), 0, nbins - 1)
         binc = jnp.where(adm, b, nbins).astype(jnp.int16)
         return jax.lax.dynamic_update_slice(out, binc, (0, c0))
@@ -616,9 +643,10 @@ def _band_thr_from_bins(BINs, cap, bin_w, nbins: int):
     return jnp.where(kept >= cap, thr, jnp.float32(np.inf))
 
 
-@functools.partial(jax.jit, static_argnames=("cchunk",))
+@functools.partial(jax.jit, static_argnames=("cchunk", "score"))
 def _band_keep2_dense(
     D32, S, Sb, Db, eb, eff_all, thr_all, row_off, cchunk: int = 2048,
+    score: str = "linf",
 ):
     """Pass-2 keep mask for a row band, dense: upper-triangular
     admitted pairs whose lb is under either endpoint's threshold.
@@ -647,9 +675,7 @@ def _band_keep2_dense(
         Dc = jax.lax.dynamic_slice(
             D32, (c0, 0), (cchunk, D32.shape[1])
         )
-        lb = jnp.max(
-            jnp.abs(Db[:, None, :] - Dc[None, :, :]), axis=2
-        )
+        lb = _band_score(Db, Dc, score)
         tc = jax.lax.dynamic_slice(thr_all, (c0,), (cchunk,))
         kc = adm & (lb <= jnp.maximum(thr_rows[:, None], tc[None, :]))
         return jax.lax.dynamic_update_slice(keep, kc, (0, c0))
@@ -1052,6 +1078,13 @@ def candidate_pairs_device_budgeted(
         )
     eff_j = jnp.asarray(eff)
     D32 = jnp.asarray(np.asarray(D), dtype=jnp.float32)
+    # cap-ranking score: "linf" (default) = triangle lower bound;
+    # "rms" = MXU matmul form (see _band_score) — opt-in via env for
+    # the single-chip scale path (the sharded pair-fold twins compute
+    # linf, so rms + multi-chip falls back with a note)
+    score = os.environ.get("ANNCHOR_TPU_BUILD_SCORE", "linf")
+    if score not in ("linf", "rms"):
+        score = "linf"
     lb_max = float(2.0 * np.asarray(D).max()) + 1e-6
     inv_bin = np.float32(nbins / lb_max)
     bin_w = np.float32(lb_max / nbins)
@@ -1069,6 +1102,9 @@ def candidate_pairs_device_budgeted(
 
         mesh = parallel.auto_mesh()
     if mesh is not None and mesh.size > 1:
+        if score != "linf" and verbose:
+            print("    [locality] rms score unsupported on the mesh "
+                  "path; using linf")
         ij_i, ij_j, m, P_cnt = _budgeted_bands_sharded(
             mesh, D32, S, eff_j, per_point_cap, nblk, nx, nbins,
             inv_bin, bin_w, verbose,
@@ -1109,7 +1145,7 @@ def candidate_pairs_device_budgeted(
         eb = jax.lax.dynamic_slice(effp, (s,), (nblk,))
         BINs = _band_bins_sym(
             D32p, Sp, Sb, Db, eb, effp, np.int32(s), inv_bin, nbins,
-            cchunk,
+            cchunk, score,
         )
         thr_b = _band_thr_from_bins(
             BINs, jnp.int32(per_point_cap), bin_w, nbins
@@ -1131,7 +1167,8 @@ def candidate_pairs_device_budgeted(
         Db = jax.lax.dynamic_slice(D32p, (s, 0), (nblk, D32p.shape[1]))
         eb = jax.lax.dynamic_slice(effp, (s,), (nblk,))
         keep, rowcnt, colcnt, kept = _band_keep2_dense(
-            D32p, Sp, Sb, Db, eb, effp, thr, np.int32(s), cchunk
+            D32p, Sp, Sb, Db, eb, effp, thr, np.int32(s), cchunk,
+            score,
         )
         rc_host = np.asarray(rowcnt)  # blocking: bounds in-flight state
         kept = int(rc_host.sum())

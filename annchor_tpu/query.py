@@ -145,7 +145,18 @@ def select_refine_candidate_query_pairs(
     visited = np.sort(keys_c[mapback])
 
     # ---- expansion: walk the fitted k-NN graph ----------------------
+    # Each round proposes (q, l) for every graph-neighbour l of the
+    # query's current best evaluated points j, screens by the triangle
+    # lower bound |d(q,j) - d(j,l)| against the query's current kth
+    # evaluated distance (a candidate that provably cannot enter the
+    # query's top-nn is never evaluated), and spends the round's share
+    # in per-query fair slots ordered by the triangle upper bound
+    # d(q,j) + d(j,l) — the fit-side refine's rule.  (The r4 query
+    # sweep saturated at 0.88 recall on the 20k scale index: the old
+    # round truncated the candidate list in KEY order, i.e. by query
+    # id, starving the back of the batch and ignoring the bounds.)
     G = np.asarray(ann.neighbor_graph[0])
+    GD = np.asarray(ann.neighbor_graph[1])
     for r in range(expand_rounds):
         left = budget - spent
         if left <= 0:
@@ -160,21 +171,51 @@ def select_refine_candidate_query_pairs(
         head = o[rank < nn]
         src_q = aq[head]
         src_db = adb[head]
-        cand_q = np.repeat(src_q, G.shape[1])
+        src_d = ad[head]
+        # per-query kth evaluated distance: the displacement screen's
+        # threshold (inf while a query has < nn evaluations)
+        cnt = np.bincount(aq, minlength=nq)
+        kth = np.full(nq, np.inf)
+        last = o[rank == np.minimum(nn - 1, cnt[aq[o]] - 1)]
+        kth[aq[last]] = np.where(
+            cnt[aq[last]] >= nn, ad[last], np.inf
+        )
+        deg = G.shape[1]
+        cand_q = np.repeat(src_q, deg)
         cand_db = G[src_db].reshape(-1).astype(np.int64)
-        ok = cand_db >= 0
-        keys = cand_q[ok] * nx + cand_db[ok]
-        keys = np.unique(keys)
-        new = keys[
-            visited[
-                np.clip(np.searchsorted(visited, keys), 0,
-                        max(visited.shape[0] - 1, 0))
-            ] != keys
-        ] if visited.size else keys
-        if new.size == 0:
+        d_jl = GD[src_db].reshape(-1)
+        d_qj = np.repeat(src_d, deg)
+        ok = (cand_db >= 0) & np.isfinite(d_jl)
+        lb = np.abs(d_qj - d_jl)
+        ub = d_qj + d_jl
+        adm = ok & (lb < kth[cand_q])
+        keys = cand_q[adm] * nx + cand_db[adm]
+        ubk = ub[adm]
+        # best-ub-wins dedupe, then drop already-evaluated pairs
+        ordk = np.lexsort((ubk, keys))
+        keys, ubk = keys[ordk], ubk[ordk]
+        fresh = np.ones(keys.shape[0], dtype=bool)
+        fresh[1:] = keys[1:] != keys[:-1]
+        keys, ubk = keys[fresh], ubk[fresh]
+        if visited.size:
+            pos = np.clip(
+                np.searchsorted(visited, keys), 0, visited.shape[0] - 1
+            )
+            unseen = visited[pos] != keys
+            keys, ubk = keys[unseen], ubk[unseen]
+        if keys.size == 0:
             break
-        if new.size > share:
-            new = new[:share]
+        if keys.size > share:
+            # per-query fair share: global priority = (rank within
+            # the query's ub-ordered slate, then ub)
+            qb = keys // nx
+            oq = np.lexsort((ubk, qb))
+            qb_s = qb[oq]
+            qstarts = np.searchsorted(qb_s, np.arange(nq))
+            wrank = np.arange(qb_s.shape[0]) - qstarts[qb_s]
+            pick = oq[np.lexsort((ubk[oq], wrank))[:share]]
+            keys = keys[pick]
+        new = np.sort(keys)
         cq = (new // nx).astype(np.int64)
         cdb = (new % nx).astype(np.int64)
         d = np.asarray(
@@ -403,7 +444,8 @@ def legacy_query_(ann, Z, get_exact_query_ijs=None, k=5, alpha=1.4, beta=1.4):
 
 
 def query_(ann, Q, nn=15, p_work=0.3, get_exact_query_ijs=None,
-           loc_thresh=None, locality=None):
+           loc_thresh=None, locality=None, seed_frac=0.5,
+           expand_rounds=3):
     """Full query pipeline (reference query_functions.py:183-212).
 
     Returns (ngi, ngd): the nn nearest database indices/distances per
@@ -455,7 +497,8 @@ def query_(ann, Q, nn=15, p_work=0.3, get_exact_query_ijs=None,
     QRA = Qpred.copy()
 
     IJ_all, RA_all, ncm_all = select_refine_candidate_query_pairs(
-        ann, IJs, Q, P_idx, P_cnt, QRA, Qncm, Qerrors, p_work, nn, eval_geq
+        ann, IJs, Q, P_idx, P_cnt, QRA, Qncm, Qerrors, p_work, nn,
+        eval_geq, seed_frac=seed_frac, expand_rounds=expand_rounds,
     )
     if IJ_all.shape[0] != IJs.shape[0]:
         # graph expansion found pairs outside the locality candidates

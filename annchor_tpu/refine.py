@@ -9,11 +9,113 @@ Annchor.refine_neighbor_graph for the public entry point.
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
 
 __all__ = ["refine_neighbor_graph"]
+
+# device screen row-block: bounds the (rows, kk*kk) candidate panels
+# (f32/int32) to ~60 MB each at kk=15 so the screen never competes
+# with the resident fit state for HBM
+_DEV_ROWS = 1 << 16
+
+_dev_screen_cache = {}
+
+
+def _get_dev_screen(q):
+    """Jitted 2-hop screen + per-row top-q slate (cached per q).
+
+    The device twin of the host screen below — same f32 arithmetic,
+    same stable sort, so the returned slates are bit-identical to the
+    host path (pinned by tests/test_scale_path.py).  Candidate
+    generation, triangle screens and pool-membership all run as one
+    fixed-shape program per row block; only the (rows, q) slates
+    cross the link — the (rows, kk*kk) panels never leave the device.
+    """
+    fn = _dev_screen_cache.get(q)
+    if fn is not None:
+        return fn
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from annchor_tpu.ops.device_pipeline import _member_lex
+
+    @partial(jax.jit, static_argnames=("q",), donate_argnums=())
+    def screen(gi, gd, kth, si, sj, rows_idx, q):
+        nx, kk = gi.shape
+        gib = jnp.take(gi, rows_idx, axis=0)  # (R, kk)
+        gdb = jnp.take(gd, rows_idx, axis=0)
+        jj = jnp.where(gib >= 0, gib, 0)
+        l = jnp.take(gi, jj.reshape(-1), axis=0).reshape(
+            jj.shape[0], kk * kk
+        )
+        d_jl = jnp.take(gd, jj.reshape(-1), axis=0).reshape(
+            jj.shape[0], kk * kk
+        )
+        d_ij = jnp.repeat(gdb, kk, axis=1)
+        me = (rows_idx.astype(jnp.int32))[:, None]
+        ok = (
+            (jnp.repeat(gib, kk, axis=1) >= 0)
+            & (l >= 0)
+            & (l != me)
+            & jnp.isfinite(d_jl)
+        )
+        lb = jnp.abs(d_ij - d_jl)
+        ub = d_ij + d_jl
+        lsafe = jnp.where(l >= 0, l, 0)
+        adm = ok & (
+            lb < jnp.maximum(kth[rows_idx][:, None], jnp.take(kth, lsafe))
+        )
+        qi = jnp.minimum(me, lsafe)
+        qj = jnp.maximum(me, lsafe)
+        inpool = _member_lex(
+            si, sj, qi.reshape(-1), qj.reshape(-1)
+        ).reshape(adm.shape)
+        adm &= ~inpool
+        ubm = jnp.where(adm, ub, jnp.inf)
+        order = jnp.argsort(ubm, axis=1, stable=True)[:, :q]
+        ubq = jnp.take_along_axis(ubm, order, axis=1)
+        lq = jnp.take_along_axis(lsafe, order, axis=1)
+        return lq, ubq
+
+    fn = screen
+    _dev_screen_cache[q] = fn
+    return fn
+
+
+def _screen_blocks_dev(gi, gd, kth, pool_keys, nx, kk, q):
+    """Run the 2-hop screen on device in _DEV_ROWS row blocks.
+
+    Returns host (nx, q) slates (partner ids, triangle upper bounds)
+    bit-identical to the host screen.  The tail block is padded with
+    clipped row indices and trimmed after download, so every block
+    compiles one program shape."""
+    import jax.numpy as jnp
+
+    screen = _get_dev_screen(q)
+    si = jnp.asarray((pool_keys // nx).astype(np.int32))
+    sj = jnp.asarray((pool_keys % nx).astype(np.int32))
+    gid = jnp.asarray(np.asarray(gi, dtype=np.int32))
+    gdd = jnp.asarray(np.asarray(gd, dtype=np.float32))
+    kthd = jnp.asarray(np.asarray(kth, dtype=np.float32))
+    outs = []
+    rows = min(_DEV_ROWS, nx)
+    for r0 in range(0, nx, rows):
+        idx = np.minimum(
+            np.arange(r0, r0 + rows, dtype=np.int32), nx - 1
+        )
+        outs.append(
+            screen(gid, gdd, kthd, si, sj, jnp.asarray(idx), q)
+        )
+    import jax
+
+    outs = jax.device_get(outs)
+    lq = np.concatenate([o[0] for o in outs], axis=0)[:nx]
+    ubq = np.concatenate([o[1] for o in outs], axis=0)[:nx]
+    return lq, ubq
 
 
 def refine_neighbor_graph(ann, rounds=2, budget=None):
@@ -174,6 +276,15 @@ def refine_neighbor_graph(ann, rounds=2, budget=None):
         gx[pr_s[sel], rank[sel]] = px[order][sel]
         return gi, gd, gx
 
+    # scale-path screens run on device (host panels were the 200k
+    # expansion wall); kill switch + small-nx force for parity tests
+    use_dev = not os.environ.get(
+        "ANNCHOR_TPU_DISABLE_DEVICE_EXPAND"
+    ) and (
+        nx > 4096
+        or bool(os.environ.get("ANNCHOR_TPU_FORCE_DEVICE_EXPAND"))
+    )
+
     for r in range(int(rounds)):
         left = budget - spent
         if left <= 0:
@@ -185,58 +296,67 @@ def refine_neighbor_graph(ann, rounds=2, budget=None):
         t_host = time.perf_counter()
         gi, gd, _ = row_lists()
         kth = gd[:, -1]
-        # candidates: i -> j (with d_ij) -> l (with d_jl), held as
-        # per-row (nx, kk*kk) matrices so the per-point fair-share
-        # ranking is a row argpartition, NOT a global sort over all
-        # nx*kk*kk candidates (a ~20x host-time difference at 100k)
-        gi32 = gi.astype(np.int32)
-        gd32 = gd.astype(np.float32)
-        kth32 = kth.astype(np.float32)
-        jj = np.where(gi32 >= 0, gi32, 0)
-        l = gi32[jj].reshape(nx, kk * kk)
-        d_jl = gd32[jj].reshape(nx, kk * kk)
-        d_ij = np.repeat(gd32, kk, axis=1)
-        me = np.arange(nx, dtype=np.int32)[:, None]
-        ok = (
-            (np.repeat(gi32, kk, axis=1) >= 0)
-            & (l >= 0)
-            & (l != me)
-            & np.isfinite(d_jl)
-        )
-        lb = np.abs(d_ij - d_jl)
-        ub = d_ij + d_jl
-        lsafe = np.where(l >= 0, l, 0)
-        # displacement screen on either endpoint's kth; budget
-        # priority = triangle *upper* bound (provably-close first)
-        # within each point's slate — a global ub order would let
-        # dense neighbourhoods starve the sparse rows that need repair
-        adm = ok & (lb < np.maximum(kth32[:, None], kth32[lsafe]))
-        # drop already-pooled pairs up front so the q fair-share slots
-        # hold only fresh candidates (the current graph edges are the
-        # smallest-ub entries and would otherwise fill every slate)
-        ckey_m = (
-            np.minimum(me, lsafe).astype(np.int64) * nx
-            + np.maximum(me, lsafe)
-        )
-        pos_m = np.clip(
-            np.searchsorted(pool_keys, ckey_m),
-            0,
-            max(pool_keys.shape[0] - 1, 0),
-        )
-        adm &= pool_keys[pos_m] != ckey_m
-        ubm = np.where(adm, ub, np.inf)
         q = int(
             min(
                 kk * kk,
                 max(kk, -(-2 * share // max(nx, 1)) + 2),
             )
         )
-        part = np.argpartition(ubm, q - 1, axis=1)[:, :q]
-        ubq = np.take_along_axis(ubm, part, axis=1)
-        lq = np.take_along_axis(lsafe, part, axis=1)
-        rord = np.argsort(ubq, axis=1, kind="stable")
-        ubq = np.take_along_axis(ubq, rord, axis=1)
-        lq = np.take_along_axis(lq, rord, axis=1)
+        # candidates: i -> j (with d_ij) -> l (with d_jl), held as
+        # per-row (nx, kk*kk) matrices so the per-point fair-share
+        # ranking is a row sort, NOT a global sort over all
+        # nx*kk*kk candidates (a ~20x host-time difference at 100k).
+        # On the scale path the whole screen runs on device in row
+        # blocks (the r4 expansion wall was these panels as host
+        # numpy passes: 64 of 74 s at 200k); both paths share the
+        # same f32 arithmetic and stable sort, so the slates are
+        # bit-identical (tests/test_scale_path.py pins this).
+        me = np.arange(nx, dtype=np.int32)[:, None]
+        if use_dev:
+            lq, ubq = _screen_blocks_dev(
+                gi, gd, kth, pool_keys, nx, kk, q
+            )
+        else:
+            gi32 = gi.astype(np.int32)
+            gd32 = gd.astype(np.float32)
+            kth32 = kth.astype(np.float32)
+            jj = np.where(gi32 >= 0, gi32, 0)
+            l = gi32[jj].reshape(nx, kk * kk)
+            d_jl = gd32[jj].reshape(nx, kk * kk)
+            d_ij = np.repeat(gd32, kk, axis=1)
+            ok = (
+                (np.repeat(gi32, kk, axis=1) >= 0)
+                & (l >= 0)
+                & (l != me)
+                & np.isfinite(d_jl)
+            )
+            lb = np.abs(d_ij - d_jl)
+            ub = d_ij + d_jl
+            lsafe = np.where(l >= 0, l, 0)
+            # displacement screen on either endpoint's kth; budget
+            # priority = triangle *upper* bound (provably-close
+            # first) within each point's slate — a global ub order
+            # would let dense neighbourhoods starve the sparse rows
+            # that need repair
+            adm = ok & (lb < np.maximum(kth32[:, None], kth32[lsafe]))
+            # drop already-pooled pairs up front so the q fair-share
+            # slots hold only fresh candidates (the current graph
+            # edges are the smallest-ub entries and would otherwise
+            # fill every slate)
+            ckey_m = (
+                np.minimum(me, lsafe).astype(np.int64) * nx
+                + np.maximum(me, lsafe)
+            )
+            pos_m = np.clip(
+                np.searchsorted(pool_keys, ckey_m),
+                0,
+                max(pool_keys.shape[0] - 1, 0),
+            )
+            adm &= pool_keys[pos_m] != ckey_m
+            ubm = np.where(adm, ub, np.inf)
+            order2 = np.argsort(ubm, axis=1, kind="stable")[:, :q]
+            ubq = np.take_along_axis(ubm, order2, axis=1)
+            lq = np.take_along_axis(lsafe, order2, axis=1)
         keep2 = np.isfinite(ubq)
         src = np.broadcast_to(me, (nx, q))[keep2].astype(np.int64)
         rank = np.broadcast_to(

@@ -78,11 +78,91 @@ def run(n, sharded, seed=42):
     }
 
 
+def run_coverage(n, sharded, seed=42):
+    """Derived-cap run (cap scales with the mesh): measures whether
+    cap x s converts the multi-chip residency headroom into candidate
+    coverage and recall — the claim Annchor._mesh_scale codes
+    (VERDICT r4 next #7).  Returns recall + true-edge coverage of the
+    tracked pair set over 200 sample rows."""
+    import annchor_tpu as at
+    from sklearn.datasets import make_blobs
+
+    X, y = make_blobs(
+        n_samples=n, centers=16, n_features=6, random_state=7
+    )
+    if sharded:
+        os.environ.pop("ANNCHOR_TPU_DISABLE_SHARDING", None)
+    else:
+        os.environ["ANNCHOR_TPU_DISABLE_SHARDING"] = "1"
+    try:
+        t0 = time.time()
+        ann = at.Annchor(
+            X, "euclidean", n_anchors=24, n_neighbors=10,
+            n_samples=3000, p_work=0.01, random_seed=seed,
+        )
+        ann.fit()
+        wall = time.time() - t0
+        cap = ann._derived_pair_cap() if hasattr(
+            ann, "_derived_pair_cap") else None
+        rng = np.random.default_rng(3)
+        rows = rng.integers(0, n, size=200)
+        D = np.linalg.norm(X[rows][:, None, :] - X[None, :, :], axis=2)
+        true = np.argsort(D, axis=1)[:, 1:11]
+        gi = np.asarray(ann.neighbor_graph[0])[rows][:, 1:11]
+        recall = np.mean([
+            len(set(gi[t]) & set(true[t])) / 10
+            for t in range(len(rows))
+        ])
+        # tracked-set coverage of the true edges for the sample rows
+        IJ = np.asarray(ann.IJs)
+        keys = np.sort(
+            IJ[:, 0].astype(np.int64) * n + IJ[:, 1].astype(np.int64)
+        )
+        a = np.repeat(rows, 10).astype(np.int64)
+        b = true.reshape(-1).astype(np.int64)
+        k = np.minimum(a, b) * n + np.maximum(a, b)
+        pos = np.clip(np.searchsorted(keys, k), 0, keys.shape[0] - 1)
+        coverage = float(np.mean(keys[pos] == k))
+        m = int(ann._ij_dev[2]) if ann._ij_dev is not None else len(IJ)
+    finally:
+        os.environ.pop("ANNCHOR_TPU_DISABLE_SHARDING", None)
+    return {
+        "sharded": sharded, "n": n, "wall_s": round(wall, 2),
+        "pairs_tracked": int(m),
+        "derived_cap": cap,
+        "sampled_recall_200rows": round(float(recall), 4),
+        "coverage_200rows": round(coverage, 4),
+        "evals": int(ann.evals),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=20000)
+    ap.add_argument(
+        "--coverage", action="store_true",
+        help="derived-cap coverage run (cap scales with the mesh)",
+    )
     args = ap.parse_args()
     os.environ.setdefault("ANNCHOR_TPU_FORCE_SPARSE", "1")
+    if args.coverage:
+        print("single-device derived-cap run...", flush=True)
+        single = run_coverage(args.n, sharded=False)
+        print(json.dumps(single), flush=True)
+        print("sharded derived-cap run...", flush=True)
+        shard = run_coverage(args.n, sharded=True)
+        print(json.dumps(shard), flush=True)
+        rec = {
+            "bench": "sharded_coverage",
+            "n": args.n,
+            "single": single,
+            "sharded": shard,
+        }
+        line = json.dumps(rec)
+        print(line)
+        with open(RESULTS, "a") as fh:
+            fh.write(line + "\n")
+        return
     # Pin an EXPLICIT pair cap: the derived cap scales with the mesh
     # (cap x s — multi-chip buys candidate coverage), which on a
     # VIRTUAL mesh sharing one physical core means the sharded run

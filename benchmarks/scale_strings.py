@@ -82,6 +82,12 @@ def main(argv=None):
     # same-total-budget variant: hold back this share of p_work for
     # the post-fit refinement instead of adding extra evals
     ap.add_argument("--refine-frac", type=float, default=0.0)
+    # ctor-defaults row: ignore the tuned knobs and let the scale-aware
+    # defaults (annchor.py) pick na/loc_thresh/niters/refine_frac —
+    # the VERDICT r4 "defaults hit the frontier" verification
+    ap.add_argument("--defaults", action="store_true")
+    # budgeted-build cap-ranking score (linf | rms); rms = MXU matmul
+    ap.add_argument("--build-score", type=str, default="")
     args = ap.parse_args(argv)
 
     import annchor_tpu as at
@@ -128,23 +134,33 @@ def main(argv=None):
             gt = (gi, gd)
         gt_s = time.perf_counter() - t0
 
+    if args.build_score:
+        os.environ["ANNCHOR_TPU_BUILD_SCORE"] = args.build_score
+
     def build(verbose):
-        ann = at.Annchor(
-            X,
-            "levenshtein",
-            n_anchors=args.n_anchors,
-            n_neighbors=args.k,
-            n_samples=args.n_samples,
-            p_work=args.p_work,
-            loc_thresh=args.loc_thresh,
-            locality=args.locality,
-            niters=args.niters,
-            random_seed=args.seed,
-            verbose=verbose,
-            refine_frac=args.refine_frac,
-            refine_rounds=args.expand_rounds,
-            pair_cap=args.pair_cap or None,
-        )
+        if args.defaults:
+            ann = at.Annchor(
+                X, "levenshtein", n_neighbors=args.k,
+                p_work=args.p_work, random_seed=args.seed,
+                verbose=verbose,
+            )
+        else:
+            ann = at.Annchor(
+                X,
+                "levenshtein",
+                n_anchors=args.n_anchors,
+                n_neighbors=args.k,
+                n_samples=args.n_samples,
+                p_work=args.p_work,
+                loc_thresh=args.loc_thresh,
+                locality=args.locality,
+                niters=args.niters,
+                random_seed=args.seed,
+                verbose=verbose,
+                refine_frac=args.refine_frac,
+                refine_rounds=args.expand_rounds,
+                pair_cap=args.pair_cap or None,
+            )
         t0 = time.perf_counter()
         ann.fit()
         return ann, time.perf_counter() - t0
@@ -323,6 +339,14 @@ def main(argv=None):
         result["expand_s"] = round(expand_s, 2)
     if args.refine_frac > 0:
         result["refine_frac"] = args.refine_frac
+    if args.defaults:
+        result["defaults"] = True
+        result["auto_n_anchors"] = int(ann.n_anchors)
+        result["auto_loc_thresh"] = int(ann.loc_thresh)
+        result["auto_niters"] = int(ann.niters)
+        result["auto_refine_frac"] = float(ann.refine_frac)
+    if args.build_score:
+        result["build_score"] = args.build_score
     print(json.dumps(result))
     return 0
 

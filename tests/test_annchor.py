@@ -320,3 +320,41 @@ def test_tiny_dataset_exact_graph():
             bf.neighbor_graph, ann.neighbor_graph, k
         )
         assert err == 0, (n, err)
+
+
+def test_scale_aware_defaults():
+    """Unset ctor knobs resolve to the reference defaults at reference
+    scales and to the measured tuning law (SCALE.md) on the scale
+    path; explicit kwargs always win (the ctor-kwargs config
+    contract, reference annchor.py:92-115)."""
+    rng = np.random.default_rng(0)
+    Xs = rng.normal(size=(500, 4))
+
+    small = at.Annchor(Xs, "euclidean", p_work=0.3)
+    assert small.n_anchors == 20
+    assert small.loc_thresh == 1
+    assert small.locality == 5
+    assert small.niters == 2
+    assert small.refine_frac == 0.0
+
+    Xl = rng.normal(size=(5000, 4))
+    big = at.Annchor(Xl, "euclidean", p_work=0.05)
+    assert big.n_anchors == 48
+    assert big.loc_thresh == 3
+    assert big.locality == 5
+    assert big.niters == 4
+    assert big.refine_frac == 0.05
+
+    # the law tracks the measured frontier at the swept scales
+    Xh = rng.normal(size=(100_000, 2)).astype(np.float32)
+    huge = at.Annchor(Xh, "euclidean", p_work=0.01)
+    assert huge.n_anchors == 96
+
+    expl = at.Annchor(
+        Xl, "euclidean", p_work=0.05, n_anchors=12, loc_thresh=1,
+        niters=2, refine_frac=0.0,
+    )
+    assert expl.n_anchors == 12
+    assert expl.loc_thresh == 1
+    assert expl.niters == 2
+    assert expl.refine_frac == 0.0
