@@ -18,7 +18,14 @@ import os as _os
 _cache_dir = _os.environ.get(
     "JAX_COMPILATION_CACHE_DIR", "/tmp/annchor_tpu_xla_cache"
 )
-if _cache_dir:
+# CPU-pinned processes (hermetic tests, virtual-mesh runs) skip the
+# cache: XLA:CPU AOT entries written under different pseudo-feature
+# flags reload with "machine type doesn't match" SIGILL warnings, and
+# CPU compiles are cheap anyway.  The remote-TPU compiles are the ones
+# worth persisting.
+if _cache_dir and "cpu" not in _os.environ.get(
+    "JAX_PLATFORMS", ""
+).lower():
     import jax as _jax
 
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)

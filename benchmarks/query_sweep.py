@@ -65,6 +65,14 @@ def main(argv=None):
         {"p_work": 0.05, "loc_thresh": 2, "locality": 8},
         {"p_work": 0.1},
         {"p_work": 0.1, "loc_thresh": 2, "locality": 8},
+        # round-5 expansion rework (triangle screen + per-query fair
+        # share) and the new budget-split knobs: more of the budget on
+        # the graph walk, more rounds to reach it
+        {"p_work": 0.1, "loc_thresh": 2, "locality": 8,
+         "seed_frac": 0.3, "expand_rounds": 6},
+        {"p_work": 0.1, "seed_frac": 0.3, "expand_rounds": 6},
+        {"p_work": 0.05, "loc_thresh": 2, "locality": 8,
+         "seed_frac": 0.3, "expand_rounds": 6},
         {"p_work": 0.2},
     ]
     _ = ann.query(Q[:8], nn=args.k, p_work=0.05)  # warm compile

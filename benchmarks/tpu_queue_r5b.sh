@@ -1,0 +1,25 @@
+#!/bin/bash
+# Round-5b queue: timed exact-digits with the refine split (CPU sweep
+# measured 4 -> 2 errors at refine_frac=0.1), then the 200k frontier
+# re-run with the round-5 device expansion screen (r4 ask: expansion
+# <= 40 s, host share < 30%).
+cd /tmp/q5brepo
+set -x
+RES=/root/repo/benchmarks/results
+
+timeout 3000 python benchmarks/bench_digits.py --exact --refine-frac=0.1 \
+  > /tmp/q5b_digits_exact.log 2>&1
+line=$(grep -o '{"metric".*}' /tmp/q5b_digits_exact.log | tail -1)
+[ -n "$line" ] && echo "$line" >> $RES/digits.jsonl
+echo R5B_DIGITS_DONE >> /tmp/q5b_status.log
+
+timeout 7200 python benchmarks/scale_strings.py \
+  --n 200000 --clusters 128 --length 400 --k 15 --p-work 0.005 \
+  --niters 4 --loc-thresh 3 --locality 5 --n-anchors 128 \
+  --check-rows 100 --pair-cap 700 \
+  --expand-evals 0.0003 --expand-rounds 3 --warm \
+  > /tmp/q5b_200k.log 2>&1
+line=$(grep -o '{"metric".*}' /tmp/q5b_200k.log | tail -1)
+[ -n "$line" ] && echo "$line" >> $RES/scale_strings.jsonl
+echo R5B_200K_DONE >> /tmp/q5b_status.log
+echo R5B_ALL_DONE >> /tmp/q5b_status.log
