@@ -74,10 +74,14 @@ class Annchor:
         allowance and spend it after the fit on graph-expansion
         refinement (refine_neighbor_graph) — same total eval budget,
         redirected at near-misses; recovers edges outside the
-        candidate set.  0 (default) reproduces the reference flow.
-        Split only when the fit is *coverage-limited* (tight pair
-        caps / selective filters): with full candidate coverage the
+        candidate set.  0 reproduces the reference flow.  Split only
+        when the fit is *coverage-limited* (tight pair caps /
+        selective filters): with full candidate coverage the
         re-targeted in-fit evals beat post-hoc expansion (SCALE.md).
+
+    Knobs left unset (None) resolve to the reference defaults at
+    reference scales (nx <= 4096) and to the measured tuning law on
+    the scale path — see docs/parameters.md "Scale-aware defaults".
     """
 
     def __init__(

@@ -157,6 +157,29 @@ def select_refine_candidate_query_pairs(
     # id, starving the back of the batch and ignoring the bounds.)
     G = np.asarray(ann.neighbor_graph[0])
     GD = np.asarray(ann.neighbor_graph[1])
+    # Symmetrised walk graph: out-rows alone cannot propose a point t
+    # whose edge points INTO the evaluated set (j in row of t while t
+    # is not in row of j — common around hubs), which capped the r4
+    # 20k sweep at 0.88 recall with every admissible out-candidate
+    # already evaluated.  Append each point's in-neighbours (up to
+    # one row-width, nearest first) so the walk crosses edges in
+    # both directions.
+    deg0 = G.shape[1]
+    src_e = np.repeat(np.arange(G.shape[0], dtype=np.int64), deg0)
+    dst_e = G.reshape(-1).astype(np.int64)
+    d_e = GD.reshape(-1)
+    oke = (dst_e >= 0) & (dst_e != src_e) & np.isfinite(d_e)
+    order_e = np.lexsort((d_e[oke], dst_e[oke]))
+    dst_s = dst_e[oke][order_e]
+    starts_e = np.searchsorted(dst_s, np.arange(G.shape[0]))
+    rank_e = np.arange(dst_s.shape[0]) - starts_e[dst_s]
+    keep_e = rank_e < deg0
+    Grev = np.full((G.shape[0], deg0), -1, dtype=G.dtype)
+    GrevD = np.full((G.shape[0], deg0), np.inf)
+    Grev[dst_s[keep_e], rank_e[keep_e]] = src_e[oke][order_e][keep_e]
+    GrevD[dst_s[keep_e], rank_e[keep_e]] = d_e[oke][order_e][keep_e]
+    G = np.concatenate([G, Grev], axis=1)
+    GD = np.concatenate([GD, GrevD], axis=1)
     for r in range(expand_rounds):
         left = budget - spent
         if left <= 0:

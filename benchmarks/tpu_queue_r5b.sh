@@ -22,4 +22,11 @@ timeout 7200 python benchmarks/scale_strings.py \
 line=$(grep -o '{"metric".*}' /tmp/q5b_200k.log | tail -1)
 [ -n "$line" ] && echo "$line" >> $RES/scale_strings.jsonl
 echo R5B_200K_DONE >> /tmp/q5b_status.log
+
+# re-sweep the 20k index with the symmetrised query walk (the r5a
+# sweep reproduced the r4 numbers bit-for-bit: the ceiling was
+# reachability — out-edges only — not selection order)
+timeout 4000 python benchmarks/query_sweep.py   > /tmp/q5b_query_sweep.log 2>&1
+grep -o '{"metric".*}' /tmp/q5b_query_sweep.log >> $RES/query_sweep.jsonl
+echo R5B_QUERY_DONE >> /tmp/q5b_status.log
 echo R5B_ALL_DONE >> /tmp/q5b_status.log
