@@ -263,14 +263,15 @@ def select_refine_candidate_query_pairs(
         aq = np.concatenate(eq)
         ad = np.concatenate(ed)
         o, rank = _per_query_topk(aq, ad, nq, nn)
+        cntf = np.bincount(aq, minlength=nq)
         kth = np.full(nq, np.inf)
-        last = o[
-            rank == np.minimum(
-                nn - 1,
-                np.bincount(aq, minlength=nq)[aq[o]] - 1,
-            )
-        ]
-        kth[aq[last]] = ad[last]
+        last = o[rank == np.minimum(nn - 1, cntf[aq[o]] - 1)]
+        # a query with fewer than nn evaluations has no kth yet —
+        # keep +inf (every remaining candidate attractive), same rule
+        # as the expansion rounds' displacement screen
+        kth[aq[last]] = np.where(
+            cntf[aq[last]] >= nn, ad[last], np.inf
+        )
         pm = kth[IJs[rem, 1]] - QRA[rem]
         pr = pair_ops.empirical_cdf_probs(
             pm, Qerrors[rem], ann.error_predictor.errs
