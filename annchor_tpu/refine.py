@@ -313,8 +313,12 @@ def refine_neighbor_graph(ann, rounds=2, budget=None):
         # bit-identical (tests/test_scale_path.py pins this).
         me = np.arange(nx, dtype=np.int32)[:, None]
         if use_dev:
+            t_dev = time.perf_counter()
             lq, ubq = _screen_blocks_dev(
                 gi, gd, kth, pool_keys, nx, kk, q
+            )
+            stats[-1]["screen_dev_s"] = round(
+                time.perf_counter() - t_dev, 3
             )
         else:
             gi32 = gi.astype(np.int32)
