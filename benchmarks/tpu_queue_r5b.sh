@@ -29,4 +29,12 @@ echo R5B_200K_DONE >> /tmp/q5b_status.log
 timeout 4000 python benchmarks/query_sweep.py   > /tmp/q5b_query_sweep.log 2>&1
 grep -o '{"metric".*}' /tmp/q5b_query_sweep.log >> $RES/query_sweep.jsonl
 echo R5B_QUERY_DONE >> /tmp/q5b_status.log
+
+# cache-warm second visit: identical 20k rms config as r5a step 2 —
+# the warmup_s delta vs 317 s is the persistent-cache claim measured
+# at pipeline scale (fresh process, same shapes)
+timeout 2500 python benchmarks/scale_strings.py   --n 20000 --clusters 32 --length 400 --k 15 --p-work 0.02   --niters 4 --loc-thresh 3 --locality 5 --n-anchors 48   --check-rows 50 --pair-cap 280 --build-score rms   --expand-evals 0.002 --expand-rounds 3 --warm   > /tmp/q5b_20k_rms2.log 2>&1
+line=$(grep -o '{"metric".*}' /tmp/q5b_20k_rms2.log | tail -1)
+[ -n "$line" ] && echo "$line" >> $RES/scale_strings.jsonl
+echo R5B_CACHEWARM_DONE >> /tmp/q5b_status.log
 echo R5B_ALL_DONE >> /tmp/q5b_status.log
