@@ -753,8 +753,10 @@ def _member_lex(si, sj, qi, qj):
         less = (mi < qi) | ((mi == qi) & (mj < qj))
         return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
 
-    # 31 halvings cover every int32-addressable m
-    lo, hi = jax.lax.fori_loop(0, 31, body, (lo, hi))
+    # halvings sized to the (static) list length — 22 at m ~ 3M vs a
+    # blanket 31; each halving is two m-wide gathers over every query
+    nit = max(1, int(m - 1).bit_length()) if m > 0 else 1
+    lo, hi = jax.lax.fori_loop(0, nit, body, (lo, hi))
     c = jnp.clip(lo, 0, m - 1)
     return (lo < m) & (jnp.take(si, c) == qi) & (jnp.take(sj, c) == qj)
 

@@ -76,9 +76,25 @@ def _get_dev_screen(q):
         ).reshape(adm.shape)
         adm &= ~inpool
         ubm = jnp.where(adm, ub, jnp.inf)
-        order = jnp.argsort(ubm, axis=1, stable=True)[:, :q]
-        ubq = jnp.take_along_axis(ubm, order, axis=1)
-        lq = jnp.take_along_axis(lsafe, order, axis=1)
+        # top-q smallest by a PACKED key: the column index rides the
+        # ub's low mantissa bits, so keys are unique per row and the
+        # host twin (argpartition + sort over the same keys) selects
+        # bit-identically — and lax.top_k replaces the full stable
+        # row sort (the r5 200k re-measure put the sort-based screen
+        # at ~110 s/round).  Positive f32 bitpatterns are monotone as
+        # int32, so masking low bits keeps the ordering (coarser ub
+        # ties broken by column, deterministically on both paths).
+        cbits = max(1, (kk * kk - 1).bit_length())
+        col = jnp.arange(kk * kk, dtype=jnp.int32)[None, :]
+        mask = jnp.int32(-(1 << cbits))
+        key = (
+            jax.lax.bitcast_convert_type(ubm, jnp.int32) & mask
+        ) | col
+        negk, idx = jax.lax.top_k(-key, q)
+        lq = jnp.take_along_axis(lsafe, idx, axis=1)
+        ubq = jax.lax.bitcast_convert_type(
+            (-negk) & mask, jnp.float32
+        )
         return lq, ubq
 
     fn = screen
@@ -302,6 +318,12 @@ def refine_neighbor_graph(ann, rounds=2, budget=None):
                 max(kk, -(-2 * share // max(nx, 1)) + 2),
             )
         )
+        # bucket to a multiple of 16: every round (and future runs)
+        # shares one compiled screen program instead of recompiling
+        # per share-derived width; extra slots are inf-padded and
+        # filtered, so results only gain candidates when share
+        # outruns the unbucketed width
+        q = int(min(kk * kk, ((q + 15) // 16) * 16))
         # candidates: i -> j (with d_ij) -> l (with d_jl), held as
         # per-row (nx, kk*kk) matrices so the per-point fair-share
         # ranking is a row sort, NOT a global sort over all
@@ -357,10 +379,21 @@ def refine_neighbor_graph(ann, rounds=2, budget=None):
                 max(pool_keys.shape[0] - 1, 0),
             )
             adm &= pool_keys[pos_m] != ckey_m
-            ubm = np.where(adm, ub, np.inf)
-            order2 = np.argsort(ubm, axis=1, kind="stable")[:, :q]
-            ubq = np.take_along_axis(ubm, order2, axis=1)
-            lq = np.take_along_axis(lsafe, order2, axis=1)
+            ubm = np.where(adm, ub, np.inf).astype(np.float32)
+            # packed-key selection, the device screen's twin: unique
+            # keys make argpartition + sort bit-identical to top_k
+            cbits = max(1, (kk * kk - 1).bit_length())
+            colh = np.arange(kk * kk, dtype=np.int32)[None, :]
+            maskh = np.int32(-(1 << cbits))
+            keyh = (ubm.view(np.int32) & maskh) | colh
+            part = np.argpartition(keyh, q - 1, axis=1)[:, :q]
+            kq = np.take_along_axis(keyh, part, axis=1)
+            o2 = np.argsort(kq, axis=1)
+            idx2 = np.take_along_axis(part, o2, axis=1)
+            lq = np.take_along_axis(lsafe, idx2, axis=1)
+            ubq = (
+                np.take_along_axis(kq, o2, axis=1) & maskh
+            ).view(np.float32)
         keep2 = np.isfinite(ubq)
         src = np.broadcast_to(me, (nx, q))[keep2].astype(np.int64)
         rank = np.broadcast_to(

@@ -1,0 +1,22 @@
+#!/bin/bash
+# Round-5e (final cleanup): digits_large BruteForce re-run on a quiet
+# host (the round-5 first measurement ran 4x slow under deliberate CPU
+# contention), then a final headline refresh.
+cd /tmp/q5erepo
+set -x
+RES=/root/repo/benchmarks/results
+
+JAX_PLATFORMS=cpu timeout 3000 python benchmarks/bench_brute.py --digits-large \
+  > /tmp/q5e_brute_dl.log 2>&1
+grep -o '{"metric".*}' /tmp/q5e_brute_dl.log | tail -1 >> $RES/tpu_session.jsonl
+echo R5E_BRUTE_DONE >> /tmp/q5e_status.log
+
+# focused query sweep: tie-ceiling + distance-recall columns (the
+# id-recall gap on the 20k index measured 97% equidistant swaps)
+timeout 4000 python benchmarks/query_sweep.py --quick   > /tmp/q5e_query_tie.log 2>&1
+grep -o '{"metric".*}' /tmp/q5e_query_tie.log >> $RES/query_sweep.jsonl
+echo R5E_TIE_DONE >> /tmp/q5e_status.log
+
+timeout 3000 python bench.py > /tmp/q5e_bench.log 2>&1
+echo R5E_BENCH_DONE >> /tmp/q5e_status.log
+echo R5E_ALL_DONE >> /tmp/q5e_status.log
