@@ -9,6 +9,20 @@ cd /tmp/q5crepo
 set -x
 RES=/root/repo/benchmarks/results
 
+# 200k expansion re-measure with the fixed screen (bucketed slate
+# width -> one compile; packed-key top_k instead of the row sort):
+# the first device-screen measurement regressed to 381 s of
+# expansion at ~110 s/round.  Same fit config as round 10.
+timeout 7200 python benchmarks/scale_strings.py \
+  --n 200000 --clusters 128 --length 400 --k 15 --p-work 0.005 \
+  --niters 4 --loc-thresh 3 --locality 5 --n-anchors 128 \
+  --check-rows 100 --pair-cap 700 \
+  --expand-evals 0.0003 --expand-rounds 3 --warm \
+  > /tmp/q5c_200k.log 2>&1
+line=$(grep -o '{"metric".*}' /tmp/q5c_200k.log | tail -1)
+[ -n "$line" ] && echo "$line" >> $RES/scale_strings.jsonl
+echo R5C_200K_DONE >> /tmp/q5c_status.log
+
 timeout 10800 python benchmarks/scale_strings.py \
   --n 500000 --clusters 256 --length 400 --k 15 --p-work 0.002 \
   --niters 4 --loc-thresh 3 --locality 5 --n-anchors 192 \
