@@ -292,12 +292,16 @@ def refine_neighbor_graph(ann, rounds=2, budget=None):
         gx[pr_s[sel], rank[sel]] = px[order][sel]
         return gi, gd, gx
 
-    # scale-path screens run on device (host panels were the 200k
-    # expansion wall); kill switch + small-nx force for parity tests
+    # large-scale screens run on device (the (nx, kk^2) host panels
+    # were 64 s of the 200k round-10 expansion); below ~50k points
+    # the host screen is cheaper than even one remote screen compile
+    # (20k measured 9.4 s host vs ~50 s/compile), so the device path
+    # engages only where the panels genuinely dominate.  Kill switch
+    # + small-nx force for the bit-parity tests.
     use_dev = not os.environ.get(
         "ANNCHOR_TPU_DISABLE_DEVICE_EXPAND"
     ) and (
-        nx > 4096
+        nx > 50000
         or bool(os.environ.get("ANNCHOR_TPU_FORCE_DEVICE_EXPAND"))
     )
 
