@@ -112,8 +112,21 @@ def _screen_blocks_dev(gi, gd, kth, pool_keys, nx, kk, q):
     import jax.numpy as jnp
 
     screen = _get_dev_screen(q)
-    si = jnp.asarray((pool_keys // nx).astype(np.int32))
-    sj = jnp.asarray((pool_keys % nx).astype(np.int32))
+    # pad the pool to a bucketed length with lexicographically-max
+    # sentinels (i = j = nx > every real query): the pool GROWS each
+    # round as evals merge, and an unpadded shape recompiled the
+    # screen every round — ~85 s/round of remote compile at 200k,
+    # the whole cost of the first device-screen measurements.  The
+    # binary search never lands on a sentinel for a real query, so
+    # membership results are unchanged.
+    m_pool = pool_keys.shape[0]
+    m_pad = max(1 << 20, 1 << max(1, int(m_pool - 1).bit_length()))
+    si_h = np.full(m_pad, nx, dtype=np.int32)
+    sj_h = np.full(m_pad, nx, dtype=np.int32)
+    si_h[:m_pool] = (pool_keys // nx).astype(np.int32)
+    sj_h[:m_pool] = (pool_keys % nx).astype(np.int32)
+    si = jnp.asarray(si_h)
+    sj = jnp.asarray(sj_h)
     gid = jnp.asarray(np.asarray(gi, dtype=np.int32))
     gdd = jnp.asarray(np.asarray(gd, dtype=np.float32))
     kthd = jnp.asarray(np.asarray(kth, dtype=np.float32))
