@@ -1085,6 +1085,15 @@ def candidate_pairs_device_budgeted(
     score = os.environ.get("ANNCHOR_TPU_BUILD_SCORE", "linf")
     if score not in ("linf", "rms"):
         score = "linf"
+    if score == "rms":
+        # the RMS statistic concentrates with the anchor count (CLT):
+        # at na=192 the 256-bin histogram put most candidates in a
+        # handful of bins and the bin-conservative threshold admitted
+        # far past the cap (measured: 500k pass-2 bands ballooned
+        # 10x).  Finer bins restore admitted ~ cap; the dense path's
+        # per-band state is (B, nxp) int16 regardless of nbins, so
+        # the only cost is log2(nbins) bisection steps.
+        nbins = max(nbins, 8192)
     lb_max = float(2.0 * np.asarray(D).max()) + 1e-6
     inv_bin = np.float32(nbins / lb_max)
     bin_w = np.float32(lb_max / nbins)
