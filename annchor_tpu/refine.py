@@ -305,18 +305,19 @@ def refine_neighbor_graph(ann, rounds=2, budget=None):
         gx[pr_s[sel], rank[sel]] = px[order][sel]
         return gi, gd, gx
 
-    # large-scale screens run on device (the (nx, kk^2) host panels
-    # were 64 s of the 200k round-10 expansion); below ~50k points
-    # the host screen is cheaper than even one remote screen compile
-    # (20k measured 9.4 s host vs ~50 s/compile), so the device path
-    # engages only where the panels genuinely dominate.  Kill switch
-    # + small-nx force for the bit-parity tests.
+    # The device screen twin exists and is bit-identical (pinned by
+    # tests), but MEASURED on this relay-attached TPU it loses to the
+    # host panels at every scale tried: 500k execution (one compile,
+    # padded pool shapes) costs 137-198 s/round vs the host's
+    # 119/33/35 s, and 200k ~85 s/round vs 64 s host total — the
+    # screen is gather/sort-heavy and low-FLOP, exactly the profile a
+    # single fast host core handles better than MXU-oriented silicon
+    # behind a ~31 ms relay.  Host is therefore the default at every
+    # nx; ANNCHOR_TPU_FORCE_DEVICE_EXPAND opts in (parity tests, or
+    # hardware where gathers are cheap).
     use_dev = not os.environ.get(
         "ANNCHOR_TPU_DISABLE_DEVICE_EXPAND"
-    ) and (
-        nx > 50000
-        or bool(os.environ.get("ANNCHOR_TPU_FORCE_DEVICE_EXPAND"))
-    )
+    ) and bool(os.environ.get("ANNCHOR_TPU_FORCE_DEVICE_EXPAND"))
 
     for r in range(int(rounds)):
         left = budget - spent
