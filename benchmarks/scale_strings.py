@@ -111,7 +111,11 @@ def main(argv=None):
     rng = np.random.default_rng(0)
     rows = rng.choice(args.n, size=min(args.check_rows, args.n),
                       replace=False)
-    R = at.exact_rows(X, "levenshtein", rows=rows, block=32)
+    # one-vs-all Myers state is (block, W, nx): at 10^6 columns a
+    # 32-source block holds ~3.3 GB of PV/MV per buffer (measured
+    # OOM); smaller source blocks trade dispatches for residency
+    gt_block = 32 if args.n <= 500_000 else 8
+    R = at.exact_rows(X, "levenshtein", rows=rows, block=gt_block)
 
     gt = None
     if args.exact_gt:
